@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship clean_string pipeline on sf0.001.
+``queries()`` exposes one entry per implemented operator (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL over the same parquet
+tables.  Column names are aliased identically on both sides; fragile value
+spaces (doubles) are cast to DECIMAL/strings so the driver's value-hash
+compares stable representations.
 """
 
 from __future__ import annotations
@@ -12,27 +13,490 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# field-processing operators (SURVEY.md §2.3/§2.4)
+# ---------------------------------------------------------------------------
+
+def q_clean_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's ``clean_string`` MapCompose pipeline
+    (reference __init__.py:42-48) over a noisified documents.text."""
+    from scrapy_processors_spark import clean_string
+
+    docs = _t(spark, sf_dir, "documents")
+    noisy = F.concat(F.lit('  "'), F.col("text"), F.lit('   !!  '))
+    return docs.select(
+        "doc_id", clean_string.apply_scalar(noisy).alias("cleaned")
+    )
+
+
+def q_normalize_whitespace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import NormalizeWhitespace
+
+    docs = _t(spark, sf_dir, "documents")
+    noisy = F.concat(F.lit("  "), F.regexp_replace("text", " ", "   "), F.lit(" !"))
+    return docs.select(
+        "doc_id", NormalizeWhitespace()(noisy).alias("normalized")
+    )
+
+
+def q_strip_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import StripQuotes
+
+    docs = _t(spark, sf_dir, "documents")
+    quoted = F.concat(F.lit('"`'), F.col("text"), F.lit('’”'))
+    return docs.select("doc_id", StripQuotes()(quoted).alias("stripped"))
+
+
+def q_char_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import CharWhitespacePadding
+
+    docs = _t(spark, sf_dir, "documents")
+    plussed = F.regexp_replace("text", " ", "+")
+    op = CharWhitespacePadding(chars=("+",), lpad=1, rpad=1)
+    return docs.select("doc_id", op(plussed).alias("padded"))
+
+
+def q_unicode_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import UnicodeEscape
+
+    docs = _t(spark, sf_dir, "documents")
+    escaped = F.concat(F.lit("a\\tb "), F.col("text"))
+    return docs.select("doc_id", UnicodeEscape()(escaped).alias("unescaped"))
+
+
+def q_remove_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import RemoveHTMLTags
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p><br>"))
+    return docs.select("doc_id", RemoveHTMLTags()(html).alias("text_only"))
+
+
+def q_demojize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import Demojize
+
+    docs = _t(spark, sf_dir, "documents")
+    emojified = F.concat(F.col("text"), F.lit(" \U0001F44D"))
+    return docs.select("doc_id", Demojize()(emojified).alias("demojized"))
+
+
+def q_remove_emojis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import RemoveEmojis
+
+    docs = _t(spark, sf_dir, "documents")
+    emojified = F.concat(F.col("text"), F.lit(" \U0001F60A\U0001F44D"))
+    return docs.select("doc_id", RemoveEmojis()(emojified).alias("no_emoji"))
+
+
+def q_extract_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import ExtractDigits
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.concat(
+        F.lit("price "), F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+        F.lit(" qty "), F.col("l_quantity").cast("decimal(18,2)").cast("string"),
+    )
+    arr = ExtractDigits()(s)
+    return li.select(
+        "l_orderkey", "l_linenumber", F.array_join(arr, "|").alias("digits")
+    )
+
+
+def q_normalize_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import NormalizeNumericString
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.col("l_extendedprice").cast("decimal(18,2)").cast("string")
+    op = NormalizeNumericString(
+        thousands_separator=",", decimal_separator=".",
+        decimal_places=2, keep_trailing_zeros=True, input_decimal_separator=".",
+    )
+    return li.select("l_orderkey", "l_linenumber", op(s).alias("formatted"))
+
+
+def q_price_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import PriceParser
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.concat(F.lit("$"), F.col("l_extendedprice").cast("decimal(18,2)").cast("string"))
+    price = PriceParser()(s)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        price.getField("amount").alias("amount"),
+        price.getField("currency").alias("currency"),
+        price.getField("amount_text").alias("amount_text"),
+    )
+
+
+def q_to_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import ToFloat
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.format_number(F.col("l_extendedprice"), 2)  # '44,473.56'
+    amount = ToFloat()(s)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        amount.cast("decimal(18,2)").cast("string").alias("amount_str"),
+    )
+
+
+def q_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import DateTime
+
+    ev = _t(spark, sf_dir, "events")
+    s = F.date_format("ts", "yyyy-MM-dd, HH:mm:ss")
+    op = DateTime(input_tz="America/New_York")
+    return ev.select(
+        "event_id", F.date_format(op(s), "yyyy-MM-dd HH:mm:ss").alias("utc_ts")
+    )
+
+
+def q_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import Date
+
+    ev = _t(spark, sf_dir, "events")
+    s = F.date_format("ts", "yyyy-MM-dd")
+    return ev.select("event_id", Date()(s).alias("d"))
+
+
+def q_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import Time
+
+    ev = _t(spark, sf_dir, "events")
+    s = F.date_format("ts", "hh:mm:ss a")
+    op = Time(format="%I:%M:%S %p")
+    return ev.select("event_id", op(s).alias("t"))
+
+
+def q_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import Emails
+
+    docs = _t(spark, sf_dir, "documents")
+    s = F.concat(
+        F.lit("contact "), F.col("source"), F.lit("@example.com or "),
+        F.col("source"), F.lit("@other.com"),
+    )
+    arr = Emails(domain="example.com")(s)
+    return docs.select("doc_id", F.array_join(arr, "|").alias("emails"))
+
+
+def q_phone_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import PhoneNumbers
+
+    docs = _t(spark, sf_dir, "documents")
+    suffix = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    s = F.concat(F.lit("call (816) 360-"), suffix, F.lit(" now"))
+    arr = PhoneNumbers()(s)
+    return docs.select("doc_id", F.get(arr, 0).alias("phone"))
+
+
+def q_socials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import Socials
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<a href="https://www.facebook.com/u'), F.col("doc_id").cast("string"),
+        F.lit('">x</a><a href="https://example.com/i">y</a>'),
+    )
+    m = Socials(domains=["facebook.com"])(html)
+    return docs.select(
+        "doc_id", F.get(F.try_element_at(m, F.lit("facebook.com")), 0).alias("fb_link")
+    )
+
+
+def q_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import JsonGet
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", JsonGet("k")(F.col("props")).alias("k_val"))
+
+
+def q_get_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import GetAttr
+
+    ev = _t(spark, sf_dir, "events")
+    st = F.struct(F.col("event_type").alias("etype"), F.col("user_id").alias("uid"))
+    return ev.select("event_id", GetAttr("etype")(st).alias("etype"))
+
+
+def q_call_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import CallMethod
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", CallMethod("upper")(F.col("source")).alias("src_upper"))
+
+
+def q_map_compose_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline algebra: ``clean_string + str.capitalize`` (the reference
+    integration TextItemLoader, item_loaders.py:37-39)."""
+    from scrapy_processors_spark import clean_string
+
+    docs = _t(spark, sf_dir, "documents")
+    pipeline = clean_string + str.capitalize
+    noisy = F.concat(F.lit('  "'), F.col("text"), F.lit('"  '))
+    return docs.select("doc_id", pipeline.apply_scalar(noisy).alias("capitalized"))
+
+
+def q_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compose fold: len of last word (reference tests/test_collections.py:52-96)."""
+    from scrapy_processors_spark import Compose
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    comp = Compose(lambda x: x[::-1], lambda x: x[0], len)
+    return docs.select(
+        "doc_id", comp(words, output_type=T.LongType()).alias("last_word_len")
+    )
+
+
+# ---------------------------------------------------------------- reducers
+
+def q_take_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import TakeFirst
+
+    docs = _t(spark, sf_dir, "documents")
+    arr = F.array(F.lit(None).cast("string"), F.lit(""), F.split("text", " ")[0])
+    return docs.select("doc_id", TakeFirst()(arr).alias("first_word"))
+
+
+def q_take_first_truthy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import TakeFirstTruthy
+
+    ev = _t(spark, sf_dir, "events")
+    arr = F.array(
+        F.lit(""),
+        F.when(F.col("value") > 100, F.col("event_type")),
+        F.lit("fallback"),
+    )
+    return ev.select("event_id", TakeFirstTruthy()(arr).alias("picked"))
+
+
+def q_take_all_truthy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import Join, TakeAllTruthy
+
+    docs = _t(spark, sf_dir, "documents")
+    gappy = F.split(F.regexp_replace("text", " ", "  "), " ")  # words + '' gaps
+    kept = TakeAllTruthy()(gappy)
+    return docs.select("doc_id", Join(" ")(kept).alias("rejoined"))
+
+
+def q_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import Coalesce
+
+    ev = _t(spark, sf_dir, "events")
+    arr = F.array(
+        F.when(F.col("value") > 100, F.col("event_type")),
+        F.lit("fallback"),
+    )
+    return ev.select("event_id", Coalesce()(arr).alias("first_non_null"))
+
+
+def q_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import Join
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", Join("-")(F.split("text", " ")).alias("joined"))
+
+
+def q_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_processors_spark import Flatten, Join
+
+    docs = _t(spark, sf_dir, "documents")
+    nested = F.array(F.split("text", " "), F.array(F.col("lang")))
+    return docs.select("doc_id", Join(" ")(Flatten()(nested)).alias("flat"))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_clean_string(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = {
+        "clean_string": q_clean_string,
+        "normalize_whitespace": q_normalize_whitespace,
+        "strip_quotes": q_strip_quotes,
+        "char_padding": q_char_padding,
+        "unicode_escape": q_unicode_escape,
+        "remove_html": q_remove_html,
+        "demojize": q_demojize,
+        "remove_emojis": q_remove_emojis,
+        "extract_digits": q_extract_digits,
+        "normalize_numeric": q_normalize_numeric,
+        "price_parser": q_price_parser,
+        "to_float": q_to_float,
+        "datetime": q_datetime,
+        "date": q_date,
+        "time": q_time,
+        "emails": q_emails,
+        "phone_numbers": q_phone_numbers,
+        "socials": q_socials,
+        "json_get": q_json_get,
+        "get_attr": q_get_attr,
+        "call_method": q_call_method,
+        "map_compose_algebra": q_map_compose_algebra,
+        "compose": q_compose,
+        "take_first": q_take_first,
+        "take_first_truthy": q_take_first_truthy,
+        "take_all_truthy": q_take_all_truthy,
+        "coalesce": q_coalesce,
+        "join": q_join,
+        "flatten": q_flatten,
+    }
+    try:  # extended layers (datapipe / frontier) register their own queries
+        from scrapy_processors_spark.datapipe.queries import DATAPIPE_QUERIES
+        q.update(DATAPIPE_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from scrapy_processors_spark.frontier.queries import FRONTIER_QUERIES
+        q.update(FRONTIER_QUERIES)
+    except ImportError:
+        pass
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = {
+        "clean_string": """
+            SELECT doc_id, trim(text) || '!!' AS cleaned FROM documents
+        """,
+        "normalize_whitespace": """
+            SELECT doc_id, trim(text) || '!' AS normalized FROM documents
+        """,
+        "strip_quotes": """
+            SELECT doc_id, text AS stripped FROM documents
+        """,
+        "char_padding": """
+            SELECT doc_id, replace(text, ' ', ' + ') AS padded FROM documents
+        """,
+        "unicode_escape": """
+            SELECT doc_id, 'a' || chr(9) || 'b ' || text AS unescaped FROM documents
+        """,
+        "remove_html": """
+            SELECT doc_id, text AS text_only FROM documents
+        """,
+        "demojize": """
+            SELECT doc_id, text || ' :thumbs_up:' AS demojized FROM documents
+        """,
+        "remove_emojis": """
+            SELECT doc_id, text || ' ' AS no_emoji FROM documents
+        """,
+        "extract_digits": """
+            SELECT l_orderkey, l_linenumber,
+                   array_to_string(regexp_extract_all(
+                       'price ' || CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)
+                       || ' qty ' || CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR),
+                       '\\d[\\d,.]*\\d'), '|') AS digits
+            FROM lineitem
+        """,
+        "normalize_numeric": """
+            WITH cents_t AS (
+                SELECT l_orderkey, l_linenumber,
+                       CAST(round(l_extendedprice, 2) * 100 AS BIGINT) AS cents
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber,
+                   format('{:,}', cents // 100) || '.'
+                   || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS formatted
+            FROM cents_t
+        """,
+        "price_parser": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS amount,
+                   '$' AS currency,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS amount_text
+            FROM lineitem
+        """,
+        "to_float": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS amount_str
+            FROM lineitem
+        """,
+        "datetime": """
+            SELECT event_id,
+                   strftime(timezone('UTC', timezone('America/New_York',
+                       CAST(date_trunc('second', ts) AS TIMESTAMP))),
+                       '%Y-%m-%d %H:%M:%S') AS utc_ts
+            FROM events
+        """,
+        "date": """
+            SELECT event_id, CAST(ts AS DATE) AS d FROM events
+        """,
+        "time": """
+            SELECT event_id, strftime(ts, '%H:%M:%S') AS t FROM events
+        """,
+        "emails": """
+            SELECT doc_id, source || '@example.com' AS emails FROM documents
+        """,
+        "phone_numbers": """
+            SELECT doc_id, '+1816360' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS phone
+            FROM documents
+        """,
+        "socials": """
+            SELECT doc_id, 'https://www.facebook.com/u' || CAST(doc_id AS VARCHAR) AS fb_link
+            FROM documents
+        """,
+        "json_get": """
+            SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events
+        """,
+        "get_attr": """
+            SELECT event_id, event_type AS etype FROM events
+        """,
+        "call_method": """
+            SELECT doc_id, upper(source) AS src_upper FROM documents
+        """,
+        "map_compose_algebra": """
+            SELECT doc_id, upper(substr(text, 1, 1)) || lower(substr(text, 2)) AS capitalized
+            FROM documents
+        """,
+        "compose": """
+            SELECT doc_id, length(string_split(text, ' ')[-1]) AS last_word_len
+            FROM documents
+        """,
+        "take_first": """
+            SELECT doc_id, split_part(text, ' ', 1) AS first_word FROM documents
+        """,
+        "take_first_truthy": """
+            SELECT event_id,
+                   CASE WHEN value > 100 THEN event_type ELSE 'fallback' END AS picked
+            FROM events
+        """,
+        "take_all_truthy": """
+            SELECT doc_id, text AS rejoined FROM documents
+        """,
+        "coalesce": """
+            SELECT event_id,
+                   CASE WHEN value > 100 THEN event_type ELSE 'fallback' END AS first_non_null
+            FROM events
+        """,
+        "join": """
+            SELECT doc_id, replace(text, ' ', '-') AS joined FROM documents
+        """,
+        "flatten": """
+            SELECT doc_id, text || ' ' || lang AS flat FROM documents
+        """,
+    }
+    try:
+        from scrapy_processors_spark.datapipe.queries import DATAPIPE_ORACLES
+        o.update(DATAPIPE_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from scrapy_processors_spark.frontier.queries import FRONTIER_ORACLES
+        o.update(FRONTIER_ORACLES)
+    except ImportError:
+        pass
+    return o

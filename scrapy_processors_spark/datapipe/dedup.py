@@ -1,0 +1,157 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are pure Column-expression / DataFrame compositions — no Python
+in the hot path — so they scale with Catalyst/AQE:
+
+- exact:      hash-groupBy on md5(text); map-side partial aggregation.
+- MinHash LSH: shingle -> k minhashes -> banded bucket keys -> per-band
+  equi-join (shuffle on band key) -> distinct pairs.  The classic
+  shingle/minhash/band/bucket-join decomposition; the join is AQE
+  skew-splittable when duplicate clusters are large.
+- SimHash:    16-bit fingerprint folded per-document with ``F.aggregate`` —
+  zero shuffle, zero UDF; near-dup candidates share a fingerprint.
+- n-gram Jaccard: exact verify step over candidate pairs
+  (``array_intersect``/``array_union`` on distinct shingle sets).
+- embedding cosine: dot/norm folds over ``array<float>`` columns.
+
+Determinism: every hash is md5-derived (same bytes on any engine/executor);
+no RNG anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+# ------------------------------------------------------------------ exact
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: keeper id + duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------- minhash
+def word_shingles(text: Column, n: int = 2) -> Column:
+    """Word n-gram shingles as an array<string> (distinct not applied)."""
+    words = F.split(text, " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+    )
+
+
+def minhash_column(shingles: Column, seed: int) -> Column:
+    """Min over md5(shingle#seed) 8-hex prefixes — lexicographic min on hex ==
+    numeric min on the first 32 hash bits."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.substring(F.md5(F.concat(s, F.lit(f"#{seed}"))), 1, 8))
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 4,
+                       shingle_n: int = 2) -> DataFrame:
+    sh = word_shingles(F.col(text_col), shingle_n)
+    cols = [minhash_column(sh, j).alias(f"mh_{j}") for j in range(num_hashes)]
+    return df.select(F.col(id_col).alias("id"), *cols)
+
+
+def minhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  num_hashes: int = 4, bands: int = 2,
+                  shingle_n: int = 2) -> DataFrame:
+    """Candidate near-dup pairs: union over bands of equi-joins on the band
+    key (concatenated minhashes), de-duplicated."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    rows_per_band = num_hashes // bands
+    pair_dfs: List[DataFrame] = []
+    for b in range(bands):
+        key = F.concat_ws("", *[F.col(f"mh_{b * rows_per_band + r}")
+                                for r in range(rows_per_band)])
+        banded = sigs.select("id", key.alias("band_key"))
+        a, bdf = banded.alias("a"), banded.alias("b")
+        pair_dfs.append(
+            a.join(bdf, on="band_key")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+    out = pair_dfs[0]
+    for p in pair_dfs[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+# ---------------------------------------------------------------- simhash
+def _hex_digit_value(c: Column) -> Column:
+    return F.conv(c, 16, 10).cast("long")
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over word tokens, folded per row with ``F.aggregate``
+    (no explode, no shuffle, no UDF).
+
+    bit b comes from hex digit b//4 / bit b%4 of md5(token); the fingerprint
+    sets bit b when the signed majority over tokens is positive.
+    """
+    words = F.split(text, " ")
+
+    def bit_vec(w: Column) -> Column:
+        h = F.md5(w)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda b: (
+                F.floor(
+                    _hex_digit_value(
+                        h.substr((F.floor(b / 4) + 1).cast("int"), F.lit(1))
+                    )
+                    / F.pow(F.lit(2.0), (b % 4).cast("double"))
+                ).cast("long") % 2
+            ) * 2 - 1,
+        )
+
+    sums = F.aggregate(
+        words,
+        F.array_repeat(F.lit(0).cast("long"), 16),
+        lambda acc, w: F.zip_with(acc, bit_vec(w), lambda a, b: a + b),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(15)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.when(
+            F.element_at(sums, (b + 1).cast("int")) > 0,
+            F.pow(F.lit(2.0), b.cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+# ---------------------------------------------------------- ngram jaccard
+def ngram_jaccard(text_a: Column, text_b: Column, n: int = 2) -> Column:
+    """Exact Jaccard over distinct word n-gram sets (verify stage for LSH
+    candidates)."""
+    a = F.array_distinct(word_shingles(text_a, n))
+    b = F.array_distinct(word_shingles(text_b, n))
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / union
+
+
+# ------------------------------------------------------- embedding cosine
+def cosine_similarity(vec_a: Column, vec_b: Column) -> Column:
+    """Cosine over two array<numeric> columns, computed in double."""
+    a = F.transform(vec_a, lambda x: x.cast("double"))
+    b = F.transform(vec_b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)

@@ -1,0 +1,98 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed through Arrow-batched ``mapInPandas``.
+
+The decode step itself is STUBBED (no image/audio libs in this container):
+``decode_image`` raises ``NotImplementedError`` unless ``fake=True``, in which
+case a clearly-marked deterministic fake derives a fixed-size feature vector
+from the bytes (length + byte histogram moments).  Everything Spark-side —
+schema, batch iteration, partitioning, output shape — is real and tested, so
+swapping in a real decoder is a one-function change.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("media", T.BinaryType()),
+    T.StructField("meta", T.StructType([
+        T.StructField("kind", T.StringType()),      # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ])),
+])
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("features", T.ArrayType(T.DoubleType())),
+])
+
+
+def _fake_decode(buf: bytes) -> List[float]:
+    """DETERMINISTIC FAKE decode — stands in for image/audio decoding.
+    Derives FEATURE_DIM moments from the raw bytes; replace with a real
+    decoder (PIL/librosa/ffmpeg) outside this sandbox."""
+    if not buf:
+        return [0.0] * FEATURE_DIM
+    a = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
+    chunks = np.array_split(a, FEATURE_DIM)
+    return [round(float(c.mean()) if len(c) else 0.0, 6) for c in chunks]
+
+
+def decode_image(buf: bytes, fake: bool = False) -> List[float]:
+    if not fake:
+        raise NotImplementedError(
+            "real image decode requires PIL/opencv — not available in this "
+            "container; pass fake=True for the deterministic stand-in"
+        )
+    return _fake_decode(buf)
+
+
+def extract_features(media_df: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over the media table.
+
+    ``mapInPandas`` keeps binary payloads inside Arrow buffers (no per-row
+    pickling); at scale, upstream should repartition by size so batches stay
+    within executor memory (binary columns dominate the batch footprint).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_image(b, fake=fake) for b in pdf["media"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": [m["kind"] if m else None for m in pdf["meta"]],
+                "n_bytes": [len(b) if b is not None else 0 for b in pdf["media"]],
+                "features": feats,
+            })
+
+    return media_df.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a synthetic media table from documents (text bytes as payload)
+    for tests/benchmarks — no external data."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("media"),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(0).alias("width"), F.lit(0).alias("height"),
+            F.lit(0).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )

@@ -1,0 +1,254 @@
+"""Driver-facing queries + DuckDB oracles for the datapipe layer.
+
+Each Spark query and its oracle are written over the *same* md5-derived
+deterministic hashes, so results are bit-identical across engines; float
+outputs are rounded to fixed decimals before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scrapy_processors_spark.datapipe import dedup, multimodal, similarity, textstats
+from scrapy_processors_spark.datapipe.textstats import STOPWORDS
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------------------------ dedup
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_pairs(_t(spark, sf_dir, "documents"),
+                               num_hashes=4, bands=2, shingle_n=2)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.simhash16(F.col("text")).alias("simhash"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(dedup.ngram_jaccard(F.col("ta"), F.col("tb")), 4).alias("jaccard"),
+    )
+
+
+def q_embedding_dedup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(dedup.cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos"),
+    )
+
+
+# ------------------------------------------------------------- similarity
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.cosine_topk(queries, emb, k=3)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN — recall < 1 by design, so this is a rows-only check
+    (no oracle); the brute-force variant above is the correctness baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.lsh_bucketed_topk(queries, emb, k=3)
+
+
+# -------------------------------------------------------------- textstats
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def q_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        textstats.token_count_bpe_ish(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.quality_score(F.col("text")).alias("quality"))
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column plumbing demo over synthetic media (rows-only check:
+    decode is a documented deterministic fake)."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.media_from_documents(docs), fake=True)
+
+
+DATAPIPE_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_dedup": q_embedding_dedup,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "lang_id": q_lang_id,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "fingerprint": q_fingerprint,
+    "multimodal_features": q_multimodal_features,
+}
+
+
+# ------------------------------------------------------------- oracles ---
+def _sql_in_list(words):
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n        ".join(
+        "SUM(CASE WHEN ((instr('0123456789abcdef', substr(md5(w), {i}, 1))-1) // {p}) % 2 = 1 "
+        "THEN 1 ELSE -1 END) AS s{b}".format(i=b // 4 + 1, p=2 ** (b % 4), b=b)
+        for b in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16))
+    return f"""
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ), sums AS (
+            SELECT doc_id, {sums}
+            FROM w GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+    """
+
+
+_SHINGLES = """
+        SELECT doc_id, text, string_split(text, ' ') AS words,
+               [array_to_string(words[i:i+1], ' ')
+                FOR i IN range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1)] AS shingles
+        FROM documents
+"""
+
+
+def _minhash_oracle() -> str:
+    mh = ",\n               ".join(
+        f"list_min(list_transform(shingles, s -> substr(md5(s || '#{j}'), 1, 8))) AS mh_{j}"
+        for j in range(4)
+    )
+    return f"""
+        WITH sh AS ({_SHINGLES}),
+        sig AS (SELECT doc_id AS id, {mh} FROM sh),
+        b0 AS (SELECT a.id AS id_a, b.id AS id_b FROM sig a JOIN sig b
+               ON a.mh_0 = b.mh_0 AND a.mh_1 = b.mh_1 AND a.id < b.id),
+        b1 AS (SELECT a.id AS id_a, b.id AS id_b FROM sig a JOIN sig b
+               ON a.mh_2 = b.mh_2 AND a.mh_3 = b.mh_3 AND a.id < b.id)
+        SELECT DISTINCT id_a, id_b FROM (SELECT * FROM b0 UNION ALL SELECT * FROM b1)
+    """
+
+
+def _lang_id_oracle() -> str:
+    scores = {
+        lang: f"len(list_filter(string_split(text, ' '), w -> w IN ({_sql_in_list(ws)})))"
+        for lang, ws in STOPWORDS.items()
+    }
+    # mirror the Spark fold: best starts at en, replaced on strictly-greater
+    best, best_score = "'en'", scores["en"]
+    for lang in ["es", "fr", "pt"]:
+        best = f"CASE WHEN {scores[lang]} > {best_score} THEN '{lang}' ELSE {best} END"
+        best_score = f"CASE WHEN {scores[lang]} > {best_score} THEN {scores[lang]} ELSE {best_score} END"
+    return f"SELECT doc_id, {best} AS lang_guess FROM documents"
+
+
+def _quality_oracle() -> str:
+    stop = _sql_in_list(STOPWORDS["en"])
+    return f"""
+        WITH q AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(string_split(text, ' ')) AS n_words,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                   len(list_filter(string_split(text, ' '), w -> w IN ({stop}))) AS n_stop
+            FROM documents
+        )
+        SELECT doc_id,
+               round(0.5 * (n_alpha / greatest(n_chars, 1))
+                     + 0.3 * least((n_stop / greatest(n_words, 1)) * 5, 1.0)
+                     + 0.2 * (CASE WHEN (n_chars - (n_words - 1)) / greatest(n_words, 1)
+                                        BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END),
+                     4) AS quality
+        FROM q
+    """
+
+
+DATAPIPE_ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM documents GROUP BY text
+    """,
+    "dedup_minhash": _minhash_oracle(),
+    "dedup_simhash": _simhash_oracle(),
+    "ngram_jaccard": f"""
+        WITH sh AS ({_SHINGLES}),
+        s2 AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sset, b.sset))
+                     / len(list_distinct(list_concat(a.sset, b.sset))), 4) AS jaccard
+        FROM s2 a JOIN s2 b ON b.doc_id = a.doc_id + 1
+    """,
+    "embedding_dedup": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(
+                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cos
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+    "ann_topk": """
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   round(list_cosine_similarity(
+                       list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4) AS cos
+            FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        ), ranked AS (
+            SELECT query_id, cand_id, cos,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
+    """,
+    "lang_id": _lang_id_oracle(),
+    "token_count": f"""
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '{textstats.BPE_ISH_PATTERN}')) AS n_bpe_tokens
+        FROM documents
+    """,
+    "quality_score": _quality_oracle(),
+    "fingerprint": f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                                list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % {textstats.MOD}) AS fp
+        FROM documents
+    """,
+}

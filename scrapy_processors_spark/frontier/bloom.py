@@ -1,0 +1,89 @@
+"""Per-host-bucket Bloom segments for the URL-seen set.
+
+The durable, exact seen-set is a parquet table keyed by ``url_hash``
+(xxhash64 — 64-bit; a 32-bit murmur would saturate at the 10^10-URL target).
+Bloom segments are the *fast path*: one bitmap per host-bucket, built and
+probed with vectorized numpy inside ``applyInPandas`` / cogrouped
+``applyInPandas``, so each task touches only its bucket's segment.  False
+positives are resolved by the exact ``left_anti`` join backstop
+(BASELINE.json north_rule: Bloom + exact seen set).
+
+Bit indexing uses double hashing from the two 32-bit halves of the 64-bit
+url hash — no RNG, reproducible everywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BLOOM_SCHEMA = T.StructType([
+    T.StructField("bucket", T.IntegerType()),
+    T.StructField("m_bits", T.LongType()),
+    T.StructField("k", T.IntegerType()),
+    T.StructField("bitmap", T.BinaryType()),
+])
+
+
+def _indexes(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing of the 64-bit url hash."""
+    h = hashes.astype(np.uint64)
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    h2 = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.int64)
+    ks = np.arange(k, dtype=np.int64)
+    return (h1[:, None] + ks[None, :] * h2[:, None]) % m_bits
+
+
+def build_segments(seen: DataFrame, m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
+    """seen(bucket, url_hash, ...) -> one bitmap row per bucket."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m_bits, dtype=bool)
+        idx = _indexes(pdf["url_hash"].to_numpy(), m_bits, k)
+        bits[idx.ravel()] = True
+        return pd.DataFrame({
+            "bucket": [int(pdf["bucket"].iloc[0])],
+            "m_bits": [m_bits],
+            "k": [k],
+            "bitmap": [np.packbits(bits).tobytes()],
+        })
+
+    return seen.groupBy("bucket").applyInPandas(build, schema=BLOOM_SCHEMA)
+
+
+def filter_unseen(candidates: DataFrame, segments: DataFrame) -> DataFrame:
+    """Cogrouped probe: keep candidate rows whose hash is definitely-unseen
+    (bloom negative) OR possibly-seen — tagged so the caller can route only
+    the possibly-seen residue through the exact anti-join.
+
+    Output = candidates schema + ``maybe_seen`` boolean.
+    """
+    out_schema = T.StructType(
+        candidates.schema.fields + [T.StructField("maybe_seen", T.BooleanType())]
+    )
+
+    def probe(key, cand_it: pd.DataFrame, seg: pd.DataFrame) -> pd.DataFrame:
+        cand = cand_it
+        if len(cand) == 0:
+            return cand.assign(maybe_seen=pd.Series([], dtype=bool))
+        if len(seg) == 0:
+            return cand.assign(maybe_seen=False)
+        bits = np.unpackbits(
+            np.frombuffer(seg["bitmap"].iloc[0], dtype=np.uint8)
+        ).astype(bool)
+        m, k = int(seg["m_bits"].iloc[0]), int(seg["k"].iloc[0])
+        idx = _indexes(cand["url_hash"].to_numpy(), m, k)
+        maybe = bits[idx].all(axis=1)
+        return cand.assign(maybe_seen=maybe)
+
+    return (
+        candidates.groupBy("bucket")
+        .cogroup(segments.groupBy("bucket"))
+        .applyInPandas(probe, schema=out_schema)
+    )

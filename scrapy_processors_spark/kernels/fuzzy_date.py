@@ -1,0 +1,134 @@
+"""From-scratch fuzzy multi-locale date parsing kernel.
+
+Replicates the observable behaviour of ``dateparser.parse`` (the reference's
+dependency, ``single_value.py:794-868``) for the locales and shapes the
+reference test-suite exercises — en/fr/es/pt month names, weekday prefixes,
+numeric M/D/Y, 12h/24h times (``tests/test_single_value.py:545-577``).  Full
+dateparser parity is explicitly out of scope (SURVEY.md §2.3 #13).
+
+Month/day-name tables are public CLDR vocabulary.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from datetime import datetime
+from typing import List, Optional
+
+_MONTHS = {
+    # en
+    "january": 1, "february": 2, "march": 3, "april": 4, "may": 5, "june": 6,
+    "july": 7, "august": 8, "september": 9, "october": 10, "november": 11,
+    "december": 12,
+    "jan": 1, "feb": 2, "mar": 3, "apr": 4, "jun": 6, "jul": 7, "aug": 8,
+    "sep": 9, "sept": 9, "oct": 10, "nov": 11, "dec": 12,
+    # fr (accent-folded)
+    "janvier": 1, "fevrier": 2, "mars": 3, "avril": 4, "mai": 5, "juin": 6,
+    "juillet": 7, "aout": 8, "septembre": 9, "octobre": 10, "novembre": 11,
+    "decembre": 12,
+    # es
+    "enero": 1, "febrero": 2, "marzo": 3, "abril": 4, "mayo": 5, "junio": 6,
+    "julio": 7, "agosto": 8, "septiembre": 9, "octubre": 10, "noviembre": 11,
+    "diciembre": 12,
+    # pt
+    "janeiro": 1, "fevereiro": 2, "marco": 3, "maio": 5, "junho": 6,
+    "julho": 7, "ago": 8, "setembro": 9, "outubro": 10, "novembro": 11,
+    "dezembro": 12, "abr": 4, "fev": 2, "dez": 12, "out": 10, "set": 9,
+}
+
+_WEEKDAYS = {
+    "monday", "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday",
+    "mon", "tue", "tues", "wed", "thu", "thur", "thurs", "fri", "sat", "sun",
+    "lundi", "mardi", "mercredi", "jeudi", "vendredi", "samedi", "dimanche",
+    "lunes", "martes", "miercoles", "jueves", "viernes", "sabado", "domingo",
+    "segunda", "terca", "quarta", "quinta", "sexta",
+}
+
+_FILLER = {"le", "la", "el", "a", "at", "on", "the", "de", "del", "em", "às", "as"}
+
+_TIME_RE = re.compile(r"\b(\d{1,2})[:h](\d{2})(?::(\d{2}))?\s*(am|pm|a\.m\.|p\.m\.)?\b",
+                      re.IGNORECASE)
+_APM_RE = re.compile(r"\b(am|pm)\b", re.IGNORECASE)
+
+
+def _fold(s: str) -> str:
+    return "".join(
+        c for c in unicodedata.normalize("NFD", s) if unicodedata.category(c) != "Mn"
+    )
+
+
+def parse_fuzzy_datetime(value: str, languages: Optional[List[str]] = None) -> Optional[datetime]:
+    """Parse a fuzzy date string into a naive datetime (no tz attached).
+
+    ``languages`` is accepted for interface parity; the month tables already
+    cover en/fr/es/pt so it only disambiguates nothing here.
+    """
+    if not value:
+        return None
+    s = _fold(value).lower()
+
+    hour = minute = second = 0
+    m = _TIME_RE.search(s)
+    ampm = None
+    if m:
+        hour, minute = int(m.group(1)), int(m.group(2))
+        second = int(m.group(3) or 0)
+        ampm = (m.group(4) or "").replace(".", "") or None
+        s = s[: m.start()] + " " + s[m.end():]
+    if ampm is None:
+        m2 = _APM_RE.search(s)
+        if m2:
+            ampm = m2.group(1)
+            s = s[: m2.start()] + " " + s[m2.end():]
+    if ampm == "pm" and hour < 12:
+        hour += 12
+    elif ampm == "am" and hour == 12:
+        hour = 0
+
+    tokens = re.split(r"[\s,./\-]+", s)
+    tokens = [t for t in tokens if t and t not in _FILLER and t not in _WEEKDAYS]
+
+    month = None
+    nums: List[int] = []
+    for t in tokens:
+        if t in _MONTHS:
+            if month is None:
+                month = _MONTHS[t]
+        elif t.isdigit():
+            nums.append(int(t))
+
+    year = day = None
+    if month is not None:
+        for n in list(nums):
+            if n >= 1000:
+                year = n
+                nums.remove(n)
+                break
+        for n in list(nums):
+            if 1 <= n <= 31 and day is None:
+                day = n
+                nums.remove(n)
+        if year is None and nums:
+            y = nums.pop(0)
+            year = 2000 + y if y < 50 else 1900 + y
+    else:
+        # numeric date; dateparser default order for en is M/D/Y
+        if len(nums) < 3:
+            if len(nums) == 2 and nums[0] >= 1000:
+                year, month, day = nums[0], nums[1], 1
+            else:
+                return None
+        else:
+            a, b, c = nums[0], nums[1], nums[2]
+            if a >= 1000:  # Y-M-D
+                year, month, day = a, b, c
+            else:  # M/D/Y
+                month, day = a, b
+                year = c if c >= 1000 else (2000 + c if c < 50 else 1900 + c)
+    if year is None or month is None or day is None:
+        return None
+    try:
+        return datetime(year, month, day, hour, minute, second)
+    except ValueError:
+        return None

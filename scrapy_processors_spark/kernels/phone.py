@@ -1,0 +1,147 @@
+"""From-scratch phone-number matching kernel.
+
+Replicates the observable behaviour of ``phonenumbers.PhoneNumberMatcher`` +
+``format_number`` (the reference's dependency, ``single_value.py:1070-1127``)
+for the regions its test-suite exercises (NANP/US and GB,
+``tests/test_single_value.py:737-772``) plus generic ``+CC`` international
+numbers.  Full libphonenumber parity is explicitly out of scope
+(SURVEY.md §2.3 #18); scope is documented here and in the op docstring.
+
+Number formats mirror ``phonenumbers.PhoneNumberFormat`` integer values.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional
+
+
+class PhoneNumberFormat:
+    E164 = 0
+    INTERNATIONAL = 1
+    NATIONAL = 2
+    RFC3966 = 3
+
+
+# Candidate runs: digits with (), spaces, dots or dashes between groups,
+# optionally led by + or (.  Validation filters non-phones afterwards.
+_CANDIDATE_RE = re.compile(
+    r"(?<![\d\w])"
+    r"(\+?\(?\d[\d .\-()]{4,18}\d)"
+)
+
+# NANP: area code and exchange must start with 2-9.
+_NANP_RE = re.compile(r"^([2-9]\d{2})([2-9]\d{2})(\d{4})$")
+
+# country code -> (min national digits, max national digits)
+_CC_RULES = {
+    "1": (10, 10),
+    "44": (9, 10),
+    "33": (9, 9),
+    "49": (6, 11),
+    "34": (9, 9),
+    "39": (6, 11),
+    "81": (9, 10),
+    "86": (10, 11),
+    "91": (10, 10),
+    "61": (9, 9),
+    "55": (10, 11),
+    "7": (10, 10),
+    "52": (10, 10),
+}
+
+_REGION_CC = {"US": "1", "CA": "1", "GB": "44", "FR": "33", "DE": "49",
+              "ES": "34", "IT": "39", "JP": "81", "CN": "86", "IN": "91",
+              "AU": "61", "BR": "55", "RU": "7", "MX": "52"}
+
+
+def _split_cc(digits: str) -> Optional[tuple]:
+    """Split an international digit string into (cc, national)."""
+    for cc_len in (1, 2, 3):
+        cc = digits[:cc_len]
+        if cc in _CC_RULES:
+            lo, hi = _CC_RULES[cc]
+            national = digits[cc_len:]
+            if lo <= len(national) <= hi:
+                if cc == "1" and not _NANP_RE.match(national):
+                    continue
+                return cc, national
+    return None
+
+
+def _validate(candidate: str, region: str) -> Optional[tuple]:
+    """Return (cc, national_digits) or None."""
+    has_plus = candidate.lstrip().startswith("+")
+    digits = re.sub(r"\D", "", candidate)
+    if has_plus:
+        return _split_cc(digits)
+    # National dialing in `region`
+    cc = _REGION_CC.get(region)
+    if cc is None:
+        return None
+    if cc == "1":
+        if len(digits) == 11 and digits.startswith("1"):
+            digits = digits[1:]
+        if len(digits) == 10 and _NANP_RE.match(digits):
+            return "1", digits
+        return None
+    if cc == "44":
+        if digits.startswith("0") and 10 <= len(digits) <= 11:
+            return "44", digits[1:]
+        return None
+    lo, hi = _CC_RULES[cc]
+    if digits.startswith("0"):
+        digits = digits[1:]
+    if lo <= len(digits) <= hi:
+        return cc, digits
+    return None
+
+
+def _format(cc: str, national: str, num_format: int) -> str:
+    if num_format == PhoneNumberFormat.E164:
+        return f"+{cc}{national}"
+    if num_format == PhoneNumberFormat.RFC3966:
+        return f"tel:+{cc}-{national}"
+    if cc == "1":
+        body = f"({national[:3]}) {national[3:6]}-{national[6:]}"
+        if num_format == PhoneNumberFormat.NATIONAL:
+            return body
+        return f"+1 {national[:3]}-{national[3:6]}-{national[6:]}"
+    if cc == "44":
+        # London-style 2-digit area code grouping: 20 XXXX XXXX
+        if national.startswith("20") and len(national) == 10:
+            groups = f"20 {national[2:6]} {national[6:]}"
+        elif len(national) == 10:
+            groups = f"{national[:4]} {national[4:]}"
+        else:
+            groups = national
+        if num_format == PhoneNumberFormat.NATIONAL:
+            return f"0{groups}"
+        return f"+44 {groups}"
+    if num_format == PhoneNumberFormat.NATIONAL:
+        return national
+    return f"+{cc} {national}"
+
+
+def extract_phone_numbers(
+    text: str,
+    region: str = "US",
+    num_format: int = PhoneNumberFormat.E164,
+    leniency: object = None,
+    max_tries: int = 65535,
+) -> List[str]:
+    """Find and format phone numbers in free text.
+
+    ``leniency``/``max_tries`` are accepted for interface parity with the
+    reference and ignored (scope note in module docstring).
+    """
+    out: List[str] = []
+    for m in _CANDIDATE_RE.finditer(text or ""):
+        cand = m.group(1)
+        if sum(ch.isdigit() for ch in cand) < 7:
+            continue
+        v = _validate(cand, region)
+        if v is None:
+            continue
+        out.append(_format(v[0], v[1], num_format))
+    return out

@@ -1,0 +1,124 @@
+"""Golden parity for contact + misc ops (reference tests/test_single_value.py:675-863)."""
+
+import json
+
+import pytest
+
+from scrapy_processors_spark import Emails, JsonGet, PhoneNumbers, SelectJmes, Socials
+from scrapy_processors_spark.kernels.phone import PhoneNumberFormat
+from tests.conftest import run_scalar
+
+
+# ------------------------------------------------------------------------ Emails
+EMAIL_CASES = [
+    ("support@example.com sales@example.com", {},
+     ["support@example.com", "sales@example.com"]),
+    ("Contact us at support@example.com.", {}, ["support@example.com"]),
+    ("No emails here.", {}, []),
+    ("support@example.com sales@other.com", {"domain": "example.com"},
+     ["support@example.com"]),
+    ("support@example.com sales@example.com", {"domain": "example.com"},
+     ["support@example.com", "sales@example.com"]),
+    ("support@example.com sales@other.com", {"domain": None},
+     ["support@example.com", "sales@other.com"]),
+    ("support@example.com sales@other.com", {"contains": "example"},
+     ["support@example.com"]),
+    ("support@example.com sales@other.com", {"contains": "other"},
+     ["sales@other.com"]),
+    ("support@example.com sales@other.com", {"contains": "test"}, []),
+]
+
+
+@pytest.mark.parametrize("inp,ctx,exp", EMAIL_CASES)
+def test_emails_py(inp, ctx, exp):
+    assert Emails(**ctx).process_value(inp) == exp
+
+
+def test_emails_spark(spark):
+    for inp, ctx, exp in EMAIL_CASES:
+        assert run_scalar(spark, Emails(**ctx), [inp]) == [exp]
+
+
+# ------------------------------------------------------------------ PhoneNumbers
+PHONE_CASES = [
+    ("Call us at +1 650-253-0000 or +44 20-7031-3000.", {},
+     ["+16502530000", "+442070313000"]),
+    ("No phone numbers here.", {}, []),
+    ("+1 650-253-0000, 816.360.3390, 888-662-5572.", {},
+     ["+16502530000", "+18163603390", "+18886625572"]),
+    ("Call us at +44 20-7031-3000.",
+     {"region": "GB", "num_format": PhoneNumberFormat.INTERNATIONAL},
+     ["+44 20 7031 3000"]),
+    ("+1 650-253-0000, 816.360.3390", {"max_tries": 1},
+     ["+16502530000", "+18163603390"]),
+]
+
+
+@pytest.mark.parametrize("inp,ctx,exp", PHONE_CASES)
+def test_phones_py(inp, ctx, exp):
+    assert PhoneNumbers(**ctx).process_value(inp) == exp
+
+
+def test_phones_spark(spark):
+    for inp, ctx, exp in PHONE_CASES:
+        assert run_scalar(spark, PhoneNumbers(**ctx), [inp]) == [exp]
+
+
+# ----------------------------------------------------------------------- Socials
+def _page(links):
+    html = "<html><head></head><body>"
+    for link in links:
+        html += f'<a href="{link}">Link</a>'
+    return html + "</body></html>"
+
+
+def test_socials_default_py():
+    links = [
+        "https://www.facebook.com/john",
+        "https://www.instagram.com/john",
+        "https://www.unknown.com/john",
+    ]
+    expected = {
+        "facebook.com": ["https://www.facebook.com/john"],
+        "instagram.com": ["https://www.instagram.com/john"],
+        "twitter.com": [], "linkedin.com": [], "youtube.com": [],
+        "tiktok.com": [], "pinterest.com": [], "reddit.com": [],
+    }
+    assert Socials().process_value(_page(links)) == expected
+
+
+def test_socials_ctx_py():
+    links = [
+        "https://www.facebook.com/john",
+        "https://www.facebook.com/mary",
+        "https://www.instagram.com/john",
+    ]
+    op = Socials(domains=["facebook.com"], contains="john")
+    assert op.process_value(_page(links)) == {
+        "facebook.com": ["https://www.facebook.com/john"]}
+
+
+def test_socials_spark(spark):
+    links = ["https://www.facebook.com/john", "https://www.unknown.com/x"]
+    (got,) = run_scalar(spark, Socials(domains=["facebook.com"]), [_page(links)])
+    assert got == {"facebook.com": ["https://www.facebook.com/john"]}
+
+
+# -------------------------------------------------------------------- SelectJmes
+JMES_CASES = [
+    ({"foo": "bar"}, "foo", "bar"),
+    ({"foo": {"bar": "baz"}}, "foo", {"bar": "baz"}),
+    ({"foo": [{"bar": "baz"}, {"bar": "tar"}]}, "foo", [{"bar": "baz"}, {"bar": "tar"}]),
+    ({"foo": {"bar": "baz"}}, "foo.bar", "baz"),
+]
+
+
+@pytest.mark.parametrize("inp,expr,exp", JMES_CASES)
+def test_select_jmes_py(inp, expr, exp):
+    assert SelectJmes(expr).process_value(inp) == exp
+
+
+def test_json_get_spark(spark):
+    op = JsonGet("foo.bar")
+    assert run_scalar(spark, op, [json.dumps({"foo": {"bar": "baz"}})]) == ["baz"]
+    assert op.process_value(json.dumps({"foo": {"bar": "baz"}})) == "baz"

@@ -1,0 +1,125 @@
+"""Golden parity for date/time ops (reference tests/test_single_value.py:538-672).
+
+The reference's DateTimeExtraordinaire goldens bake in the machine-local
+America/Chicago zone (SURVEY.md §7.2); we pin it via the op's explicit
+``base_tz`` parameter instead of process-global TZ.
+"""
+
+from datetime import date, datetime, time
+
+import pytest
+import pytz
+
+from scrapy_processors_spark import Date, DateTime, DateTimeExtraordinaire, Time
+from tests.conftest import run_scalar
+
+UTC = pytz.UTC
+
+
+# ---------------------------------------------------------------------- DateTime
+DT_CASES = [
+    ("2022-01-01, 12:00:00", datetime(2022, 1, 1, 12, 0, 0, tzinfo=UTC)),
+    ("2023-05-15, 09:30:00", datetime(2023, 5, 15, 9, 30, 0, tzinfo=UTC)),
+]
+
+
+@pytest.mark.parametrize("inp,exp", DT_CASES)
+def test_datetime_py(inp, exp):
+    assert DateTime(input_tz=UTC).process_value(inp) == exp
+
+
+def test_datetime_format_ctx_py():
+    op = DateTime(input_tz=UTC)
+    assert op.with_context(format="%B %d, %Y %H:%M:%S").process_value(
+        "January 1, 2022 12:00:00") == datetime(2022, 1, 1, 12, 0, 0, tzinfo=UTC)
+
+
+def test_datetime_timezones_py():
+    expected = datetime(2022, 1, 1, 12, 0, 0, tzinfo=UTC)
+    assert DateTime(input_tz=pytz.timezone("Europe/Paris")).process_value(
+        "2022-01-01, 13:00:00") == expected
+    assert DateTime(input_tz=pytz.timezone("America/New_York")).process_value(
+        "2022-01-01, 07:00:00") == expected
+    assert DateTime(input_tz=pytz.timezone("America/Los_Angeles")).process_value(
+        "2022-01-01, 04:00:00") == expected
+
+
+def test_datetime_spark(spark):
+    op = DateTime(input_tz=UTC)
+    got = run_scalar(spark, op, [c[0] for c in DT_CASES])
+    # session tz is UTC -> naive datetimes representing the UTC instant
+    assert got == [c[1].replace(tzinfo=None) for c in DT_CASES]
+
+
+def test_datetime_spark_timezones(spark):
+    expected = datetime(2022, 1, 1, 12, 0, 0)
+    assert run_scalar(spark, DateTime(input_tz="Europe/Paris"),
+                      ["2022-01-01, 13:00:00"]) == [expected]
+    assert run_scalar(spark, DateTime(input_tz="America/New_York"),
+                      ["2022-01-01, 07:00:00"]) == [expected]
+    assert run_scalar(spark, DateTime(input_tz="America/New_York",
+                                      format="%B %d, %Y %H:%M:%S"),
+                      ["January 1, 2022 07:00:00"]) == [expected]
+
+
+# -------------------------------------------------------------------------- Date
+DATE_CASES = [
+    ("2022-01-01", {}, date(2022, 1, 1)),
+    ("2023-05-15", {}, date(2023, 5, 15)),
+    ("January 1, 2022", {"format": "%B %d, %Y"}, date(2022, 1, 1)),
+]
+
+
+@pytest.mark.parametrize("inp,ctx,exp", DATE_CASES)
+def test_date_py(inp, ctx, exp):
+    assert Date(**ctx).process_value(inp) == exp
+
+
+def test_date_spark(spark):
+    for inp, ctx, exp in DATE_CASES:
+        assert run_scalar(spark, Date(**ctx), [inp]) == [exp]
+
+
+# -------------------------------------------------------------------------- Time
+TIME_CASES = [
+    ("10:30:00", {}, time(10, 30, 0)),
+    ("22:45:30", {}, time(22, 45, 30)),
+    ("10:30:00 AM", {"format": "%I:%M:%S %p"}, time(10, 30, 0)),
+    ("10:30:00 PM", {"format": "%I:%M:%S %p"}, time(22, 30, 0)),
+]
+
+
+@pytest.mark.parametrize("inp,ctx,exp", TIME_CASES)
+def test_time_py(inp, ctx, exp):
+    assert Time(**ctx).process_value(inp) == exp
+
+
+def test_time_spark(spark):
+    for inp, ctx, exp in TIME_CASES:
+        assert run_scalar(spark, Time(**ctx), [inp]) == [exp.strftime("%H:%M:%S")]
+
+
+# ------------------------------------------------------- DateTimeExtraordinaire
+CHI = "America/Chicago"
+
+DTE_CASES = [
+    ("12/12/12", {}, datetime(2012, 12, 12, 6, 0, tzinfo=UTC)),
+    ("Fri, 12 Dec 2014 10:55:50", {}, datetime(2014, 12, 12, 16, 55, 50, tzinfo=UTC)),
+    ("Le 11 Décembre 2014 à 09:00", {}, datetime(2014, 12, 11, 15, 0, tzinfo=UTC)),
+    ("2015, Ago 15, 1:08 pm", {"languages": ["pt", "es"]},
+     datetime(2015, 8, 15, 18, 8, tzinfo=UTC)),
+    ("22 de mayo de 2023, 12:30:45", {"languages": ["es"]},
+     datetime(2023, 5, 22, 17, 30, 45, tzinfo=UTC)),
+]
+
+
+@pytest.mark.parametrize("inp,ctx,exp", DTE_CASES)
+def test_dte_py(inp, ctx, exp):
+    op = DateTimeExtraordinaire(base_tz=CHI, **ctx)
+    assert op.process_value(inp) == exp
+
+
+def test_dte_spark(spark):
+    op = DateTimeExtraordinaire(base_tz=CHI)
+    got = run_scalar(spark, op, [c[0] for c in DTE_CASES])
+    assert got == [c[2].replace(tzinfo=None) for c in DTE_CASES]

@@ -1,0 +1,150 @@
+"""MapCompose/Compose semantics + pipeline algebra.
+
+Ports reference tests/test_collections.py and the algebra behaviours of
+reference base.py:964-1073, then exercises the Spark compilation paths
+(SQL-tier runs, fused pandas groups, mixed pipelines, array columns).
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from scrapy_processors_spark import (
+    Compose,
+    ExtractDigits,
+    MapCompose,
+    NormalizeWhitespace,
+    SelectJmes,
+    StripQuotes,
+    ToFloat,
+    UnicodeEscape,
+    clean_string,
+)
+from tests.conftest import run_scalar
+
+
+# ----------------------------------------------------- reference golden (python)
+def test_map_compose_py_golden():
+    reverse_upper = MapCompose(lambda x: x[::-1], str.upper)
+    lower = MapCompose(str.lower)
+    clean = MapCompose(str.strip, str.title)
+
+    assert reverse_upper.run_python("  `Tis but a single value  ") == \
+        ["  EULAV ELGNIS A TUB SIT`  "]
+    assert lower.run_python("  `Tis but a single value  ") == \
+        ["  `tis but a single value  "]
+    assert clean.run_python("  `Tis but a single value  ") == \
+        ["`Tis But A Single Value"]
+
+    assert reverse_upper.run_python(["hello", "world  "]) == ["OLLEH", "  DLROW"]
+    assert clean.run_python(["hello", "world  "]) == ["Hello", "World"]
+    assert clean.run_python(["apPlE", "baNAna"]) == ["Apple", "Banana"]
+
+
+def test_compose_py_golden():
+    len_of_last = Compose(lambda x: x[::-1], lambda x: x[0], len)
+    filter_world = Compose(lambda x: [v for v in x if v != "world"])
+
+    assert len_of_last.run_python(["hello", "world"]) == 5
+    assert filter_world.run_python(["hello", "world"]) == ["hello"]
+    assert len_of_last.run_python(["apple", "banana", "cherry", "world", "zucchini"]) == 8
+    assert filter_world.run_python(["apple", "banana", "cherry", "world", "zucchini"]) == \
+        ["apple", "banana", "cherry", "zucchini"]
+
+
+def test_map_compose_flattening_and_none_drop():
+    # list-valued stage flattens; None results are dropped (collections.py:137)
+    mc = MapCompose(ExtractDigits())
+    assert mc.run_python(["a 12 b 34", "no digits"]) == ["12", "34"]
+    mc2 = MapCompose(lambda v: None if v == "x" else v)
+    assert mc2.run_python(["x", "y"]) == ["y"]
+
+
+def test_map_compose_error_provenance():
+    mc = MapCompose(lambda v: v / 0)
+    with pytest.raises(ValueError, match="Error in MapCompose"):
+        mc.run_python([1])
+
+
+def test_compose_stop_on_none():
+    c = Compose(lambda v: None, len, default="D")
+    assert c.run_python([1, 2]) == "D"
+    c2 = Compose(lambda v: None, stop_on_none=False)
+    assert c2.run_python([1, 2]) is None
+
+
+# ----------------------------------------------------------------- algebra
+def test_pipeline_add_and_replace():
+    base = MapCompose(str.strip)
+    extended = base + str.upper
+    assert len(base) == 1 and len(extended) == 2
+    assert extended.run_python(" a ") == ["A"]
+
+    select = MapCompose(SelectJmes("foo"))
+    replaced = select.replace(0, SelectJmes("bar"))
+    assert replaced.run_python({"bar": "x"}) == ["x"]
+    assert select.run_python({"foo": "y"}) == ["y"]
+
+
+def test_pipeline_extend_context_conflict():
+    a = MapCompose(str.strip, k=1)
+    b = MapCompose(str.upper, k=2)
+    with pytest.raises(ValueError, match="Conflicting"):
+        a.extend(b)
+    merged = a.extend(MapCompose(str.upper, k=1))
+    assert len(merged) == 2
+
+
+def test_pipeline_context_pushdown():
+    # pipeline-level kwargs reach only ops that declare the key
+    mc = MapCompose(StripQuotes(), NormalizeWhitespace(), lstrip_chars_ignore=".")
+    assert mc.run_python(["This is a sentence  .  "]) == ["This is a sentence ."]
+
+
+# -------------------------------------------------------------- spark paths
+def test_clean_string_pipeline_spark(spark):
+    # mixed pandas (UnicodeEscape) + sql (trim/quotes/whitespace) pipeline
+    inp = '  "" This Really    \\n\\n\\n\\n is a         \\t\\t\\t\\t            messy string  !!!   "'
+    got = run_scalar(spark, lambda c: clean_string.apply_scalar(c), [inp])
+    assert got == [clean_string.run_python(inp)[0]]
+    assert got == ["This Really is a messy string!!!"]
+    # + str.capitalize = the integration golden (cleaned_data.json "text")
+    pipe = clean_string + str.capitalize
+    got2 = run_scalar(spark, pipe.apply_scalar, [inp])
+    assert got2 == ["This really is a messy string!!!"]
+
+
+def test_sql_only_pipeline_spark(spark):
+    mc = MapCompose(str.strip, StripQuotes(), NormalizeWhitespace())
+    got = run_scalar(spark, mc.apply_scalar, ['  "A  B !"  '])
+    assert got == ["A B!"]
+
+
+def test_list_valued_stage_spark(spark):
+    mc = MapCompose(NormalizeWhitespace(), ExtractDigits())
+    got = run_scalar(spark, mc.apply_scalar, ["num 1,000.12 and 77", "none here"])
+    assert got == [["1,000.12", "77"], []]
+
+
+def test_mixed_tier_list_stage_spark(spark):
+    # sql list stage then pandas stage applied per element
+    mc = MapCompose(ExtractDigits(), ToFloat())
+    got = run_scalar(spark, mc.apply_scalar, ["a 12 b 3,400"])
+    assert got == [[12.0, 3400.0]]
+
+
+def test_array_input_spark(spark):
+    df = spark.createDataFrame([(0, ["  a ", " b  "])], "id long, v array<string>")
+    mc = MapCompose(str.strip, str.upper)
+    out = df.select(mc.apply_array(F.col("v")).alias("r")).collect()
+    assert out[0]["r"] == ["A", "B"]
+
+
+def test_fused_kernel_group_is_single_udf(spark):
+    # two pandas stages fuse: plan contains exactly one ArrowEvalPython node
+    mc = MapCompose(UnicodeEscape(), UnicodeEscape())
+    df = spark.createDataFrame([("a\\nb",)], "v string")
+    plan = df.select(mc.apply_scalar(F.col("v")).alias("r"))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1

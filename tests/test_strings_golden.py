@@ -1,0 +1,247 @@
+"""Golden-value parity for string ops.
+
+Cases ported verbatim from the reference suite
+(``/root/reference/tests/test_single_value.py``); each case is asserted on
+the Python ground truth (``process_value``) and on the Spark column tier.
+"""
+
+import random
+
+import pytest
+
+from scrapy_processors_spark import (
+    CharWhitespacePadding,
+    Demojize,
+    NormalizeWhitespace,
+    RemoveEmojis,
+    RemoveHTMLTags,
+    StripQuotes,
+    UnicodeEscape,
+)
+from tests.conftest import run_scalar
+
+# ---------------------------------------------------------------- UnicodeEscape
+UNICODE_ESCAPE_CASES = [
+    ("Escape\\n\\n\\t\\tCharacters", "Escape\n\n\t\tCharacters"),
+]
+
+
+@pytest.mark.parametrize("inp,exp", UNICODE_ESCAPE_CASES)
+def test_unicode_escape_py(inp, exp):
+    assert UnicodeEscape().process_value(inp) == exp
+
+
+def test_unicode_escape_spark(spark):
+    op = UnicodeEscape()
+    inputs = [c[0] for c in UNICODE_ESCAPE_CASES]
+    assert run_scalar(spark, op, inputs) == [c[1] for c in UNICODE_ESCAPE_CASES]
+
+
+# ---------------------------------------------------------- NormalizeWhitespace
+NW_CASES = [
+    ("", ""),
+    ("Properly Formatted String", "Properly Formatted String"),
+    ("​Zero​﻿Width​﻿Whitespace﻿", "ZeroWidthWhitespace"),
+    ("   Multiple   Whitespaces   Here   ", "Multiple Whitespaces Here"),
+    ("This is a sentence  !", "This is a sentence!"),
+    ("This is also a sentence ??", "This is also a sentence??"),
+    ("$ 1,000,000.00", "$1,000,000.00"),
+    ("{ Curly Brackets}", "{Curly Brackets}"),
+    ("Sandwitch - The - Hyphens", "Sandwitch-The-Hyphens"),
+    ("nmischkework @ proton.me", "nmischkework@proton.me"),
+    ("“ Left & Right UTF-8 Quote Marks ”", "“Left & Right UTF-8 Quote Marks”"),
+    (" LeadingWhitespace", "LeadingWhitespace"),
+    ("TrailingWhitespace ", "TrailingWhitespace"),
+]
+
+WHITESPACE_CHARS = [
+    "\n", "\t", "\r", "\f", "\v", " ",
+    " ", " ", " ", " ", " ", " ", " ",
+    " ", " ", " ", "​", " ", " ", "　",
+    " ", " ", "﻿",
+]
+
+
+@pytest.mark.parametrize("inp,exp", NW_CASES)
+def test_normalize_whitespace_py(inp, exp):
+    assert NormalizeWhitespace().process_value(inp) == exp
+
+
+@pytest.mark.parametrize("ws", WHITESPACE_CHARS)
+def test_normalize_whitespace_chars_py(ws):
+    assert NormalizeWhitespace().process_value(f"Test  {ws}  String") == "Test String"
+
+
+def test_normalize_whitespace_context():
+    op = NormalizeWhitespace()
+    s = "This is a sentence  .  "
+    assert op.process_value(s) == "This is a sentence."
+    assert op.with_context(lstrip_chars_ignore=".").process_value(s) == "This is a sentence ."
+
+
+def test_normalize_whitespace_spark(spark):
+    op = NormalizeWhitespace()
+    inputs = [c[0] for c in NW_CASES] + [f"Test  {ws}  String" for ws in WHITESPACE_CHARS]
+    expected = [c[1] for c in NW_CASES] + ["Test String"] * len(WHITESPACE_CHARS)
+    assert run_scalar(spark, op, inputs) == expected
+
+
+def test_normalize_whitespace_spark_context(spark):
+    op = NormalizeWhitespace(lstrip_chars_ignore=".")
+    assert run_scalar(spark, op, ["This is a sentence  .  "]) == ["This is a sentence ."]
+
+
+# -------------------------------------------------------- CharWhitespacePadding
+CWP_CASES = [
+    ("", ""),
+    ("1 + 1 = 2", "1 + 1 = 2"),
+    ("1+1=2", "1 + 1 = 2"),
+    ("1   +  1  =  2", "1 + 1 = 2"),
+    ("1*1=1", "1 * 1 = 1"),
+    ("1+1>0", "1 + 1 > 0"),
+    ("1+1<3", "1 + 1 < 3"),
+]
+
+
+@pytest.mark.parametrize("inp,exp", CWP_CASES)
+def test_char_padding_py(inp, exp):
+    op = CharWhitespacePadding(chars=("=", "+", "-", "*", "<", ">"), lpad=1, rpad=1)
+    assert op.process_value(inp) == exp
+
+
+def test_char_padding_context():
+    op = CharWhitespacePadding(("+", "="), 1, 1)
+    assert op.process_value("1+1=2") == "1 + 1 = 2"
+    assert op.with_context(chars="=").process_value("1+1=2") == "1+1 = 2"
+
+
+def test_char_padding_spark(spark):
+    op = CharWhitespacePadding(chars=("=", "+", "-", "*", "<", ">"), lpad=1, rpad=1)
+    inputs = [c[0] for c in CWP_CASES]
+    assert run_scalar(spark, op, inputs) == [c[1] for c in CWP_CASES]
+
+
+# ------------------------------------------------------------------ StripQuotes
+QUOTES = ["‘", "’", "“", "”", "\x27", "\x22",
+          "\x91", "\x92", "\x93", "\x94"]
+TICKS = ["`", "ˋ", "`", "ˋ", "\x60", "\x60"]
+SYMBOLS = QUOTES + TICKS
+
+SQ_CASES = [
+    ("'Single quotes'", "Single quotes"),
+    ('"Double quotes"', "Double quotes"),
+]
+
+
+@pytest.mark.parametrize("inp,exp", SQ_CASES)
+def test_strip_quotes_py(inp, exp):
+    assert StripQuotes().process_value(inp) == exp
+
+
+@pytest.mark.parametrize("symbol", SYMBOLS)
+def test_strip_quotes_symbols_py(symbol):
+    s = symbol + "Test" + symbol + "String" + symbol
+    assert StripQuotes().process_value(s) == "Test" + symbol + "String"
+
+
+def test_strip_quotes_remove_all_py():
+    all_syms = "".join(TICKS) + "".join(QUOTES) + "".join(TICKS) + "".join(QUOTES)
+    s = all_syms + "Test" + all_syms + "String" + all_syms
+    assert StripQuotes().process_value(s) == "Test" + all_syms + "String"
+
+
+def test_strip_quotes_random_py():
+    # Reference's unseeded random sweep (test_single_value.py:252-279), seeded.
+    rng = random.Random(42)
+    op = StripQuotes()
+    for _ in range(100):
+        syms = "".join(rng.choice(SYMBOLS) for _ in range(rng.randint(1, len(SYMBOLS))))
+        s = syms + "Test" + syms + "String" + syms
+        assert op.process_value(s) == "Test" + syms + "String"
+
+
+def test_strip_quotes_spark(spark):
+    op = StripQuotes()
+    inputs = [c[0] for c in SQ_CASES]
+    expected = [c[1] for c in SQ_CASES]
+    for symbol in SYMBOLS:
+        inputs.append(symbol + "Test" + symbol + "String" + symbol)
+        expected.append("Test" + symbol + "String")
+    rng = random.Random(7)
+    for _ in range(20):
+        syms = "".join(rng.choice(SYMBOLS) for _ in range(rng.randint(1, len(SYMBOLS))))
+        inputs.append(syms + "Test" + syms + "String" + syms)
+        expected.append("Test" + syms + "String")
+    assert run_scalar(spark, op, inputs) == expected
+
+
+# --------------------------------------------------------------- RemoveHTMLTags
+HTML_CASES = [
+    ("<p>Hello, <b>world</b>!</p>", "Hello, world!"),
+    ("<h1>Title</h1><p>Paragraph</p>", "TitleParagraph"),
+    ("No HTML tags", "No HTML tags"),
+    ("", ""),
+]
+
+
+@pytest.mark.parametrize("inp,exp", HTML_CASES)
+def test_remove_html_py(inp, exp):
+    assert RemoveHTMLTags().process_value(inp) == exp
+
+
+def test_remove_html_spark(spark):
+    op = RemoveHTMLTags()
+    assert run_scalar(spark, op, [c[0] for c in HTML_CASES]) == [c[1] for c in HTML_CASES]
+
+
+# --------------------------------------------------------------------- Demojize
+DEMOJIZE_CASES = [
+    ("Python is fun \U0001F44D", "Python is fun :thumbs_up:"),
+    ("Hello \U0001F60A World \U0001F30D",
+     "Hello :smiling_face_with_smiling_eyes: World :globe_showing_Europe-Africa:"),
+    ("No emojis here", "No emojis here"),
+    ("", ""),
+]
+
+
+@pytest.mark.parametrize("inp,exp", DEMOJIZE_CASES)
+def test_demojize_py(inp, exp):
+    assert Demojize().process_value(inp) == exp
+
+
+def test_demojize_context():
+    op = Demojize()
+    assert op.with_context(delimiters=("¿", "?")).process_value(
+        "Python is fun \U0001F44D") == "Python is fun ¿thumbs_up?"
+
+
+def test_demojize_spark(spark):
+    op = Demojize()
+    assert run_scalar(spark, op, [c[0] for c in DEMOJIZE_CASES]) == [
+        c[1] for c in DEMOJIZE_CASES]
+
+
+# ----------------------------------------------------------------- RemoveEmojis
+REMOVE_EMOJI_CASES = [
+    ("Python is fun \U0001F44D", "Python is fun "),
+    ("Hello \U0001F60A World \U0001F30D", "Hello  World "),
+    ("No emojis here", "No emojis here"),
+    ("", ""),
+]
+
+
+@pytest.mark.parametrize("inp,exp", REMOVE_EMOJI_CASES)
+def test_remove_emojis_py(inp, exp):
+    assert RemoveEmojis().process_value(inp) == exp
+
+
+def test_remove_emojis_context():
+    op = RemoveEmojis()
+    assert op.with_context(replace="ain't it?").process_value(
+        "Python is fun \U0001F44D") == "Python is fun ain't it?"
+
+
+def test_remove_emojis_spark(spark):
+    op = RemoveEmojis()
+    assert run_scalar(spark, op, [c[0] for c in REMOVE_EMOJI_CASES]) == [
+        c[1] for c in REMOVE_EMOJI_CASES]
