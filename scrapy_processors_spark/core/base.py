@@ -116,6 +116,14 @@ class Op:
         clone.context = {**self.context, **overrides}
         return clone
 
+    def as_kernel(self) -> "Op":
+        """Clone pinned to the pandas-kernel tier (for SQL-tier ops whose
+        Column translation can't express a particular context)."""
+        clone = type(self).__new__(type(self))
+        clone.context = dict(self.context)
+        clone.tier = "pandas"
+        return clone
+
     # ---- spark surface -----------------------------------------------------
     def __call__(self, col, **overrides) -> Column:
         op = self.with_context(**overrides)
@@ -205,9 +213,10 @@ class FunctionOp(Op):
 
 #: Registry mapping well-known plain-Python processors to SQL-tier columns.
 #: ``str.title`` is deliberately PUDF-tier: Python title-case differs from
-#: ``F.initcap`` on apostrophes/digits (SURVEY.md §7.2).
+#: ``F.initcap`` on apostrophes/digits (SURVEY.md §7.2).  ``str.strip`` maps
+#: to a Unicode-whitespace regexp trim — ``F.trim`` only strips ASCII spaces.
 _KNOWN_CALLABLES: "dict[Any, Callable[[Column], Column]]" = {
-    str.strip: lambda c: F.trim(c),
+    str.strip: lambda c: F.regexp_replace(c, r"(?U)^\s+|\s+$", ""),
     str.lower: lambda c: F.lower(c),
     str.upper: lambda c: F.upper(c),
 }

@@ -155,8 +155,9 @@ def _fused_udf(stages: Sequence[Op], in_array: bool, out_array: bool, name: str)
         out = _run(s)
         if isinstance(ret_type, T.TimestampType):
             # object-dtype datetimes would reach Arrow as ns and be
-            # misread as µs by the JVM; normalize explicitly.
-            return pd.to_datetime(out).astype("datetime64[us]")
+            # misread as µs by the JVM; normalize to naive-UTC µs.
+            coerced = pd.to_datetime(out, utc=True)
+            return coerced.dt.tz_localize(None).astype("datetime64[us]")
         return out
 
     return F.pandas_udf(fn, returnType=ret_type)

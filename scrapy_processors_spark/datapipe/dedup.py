@@ -71,6 +71,10 @@ def minhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Candidate near-dup pairs: union over bands of equi-joins on the band
     key (concatenated minhashes), de-duplicated."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # each band self-joins sigs twice — materialize once instead of
+    # recomputing the md5 folds 2*bands times (at warehouse scale this is a
+    # persisted signatures table)
+    sigs = sigs.persist()
     rows_per_band = num_hashes // bands
     pair_dfs: List[DataFrame] = []
     for b in range(bands):
@@ -100,21 +104,27 @@ def simhash16(text: Column) -> Column:
 
     bit b comes from hex digit b//4 / bit b%4 of md5(token); the fingerprint
     sets bit b when the signed majority over tokens is positive.
+
+    Expression-shape note: higher-order-function *arguments* are evaluated
+    once, but subexpressions inside lambda bodies re-evaluate per element —
+    so the md5-derived word value and the sums vector are threaded through
+    ``zip_with``/``array_repeat`` arguments instead of being referenced in
+    lambda bodies (a naive formulation recomputes md5 16x per word and the
+    whole fold 16x per row; measured ~50x slower).
     """
     words = F.split(text, " ")
 
+    # divisor for bit b of the 16-bit value conv(md5[0:4], 16, 10):
+    # hex char i+1 holds bits 4*(3-i)..; bit b = (v >> (4*(3-b//4)+b%4)) & 1
+    divs = F.array(*[F.lit(1 << (4 * (3 - b // 4) + b % 4)).cast("long")
+                     for b in range(16)])
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(16)])
+
     def bit_vec(w: Column) -> Column:
-        h = F.md5(w)
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(15)),
-            lambda b: (
-                F.floor(
-                    _hex_digit_value(
-                        h.substr((F.floor(b / 4) + 1).cast("int"), F.lit(1))
-                    )
-                    / F.pow(F.lit(2.0), (b % 4).cast("double"))
-                ).cast("long") % 2
-            ) * 2 - 1,
+        v = _hex_digit_value(F.substring(F.md5(w), 1, 4))  # conv evaluates once:
+        return F.zip_with(                                  # argument position
+            F.array_repeat(v, 16), divs,
+            lambda vv, d: (F.floor(vv / d).cast("long") % 2) * 2 - 1,
         )
 
     sums = F.aggregate(
@@ -122,14 +132,11 @@ def simhash16(text: Column) -> Column:
         F.array_repeat(F.lit(0).cast("long"), 16),
         lambda acc, w: F.zip_with(acc, bit_vec(w), lambda a, b: a + b),
     )
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(15)),
-        F.lit(0).cast("long"),
-        lambda acc, b: acc + F.when(
-            F.element_at(sums, (b + 1).cast("int")) > 0,
-            F.pow(F.lit(2.0), b.cast("double")).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+    contrib = F.zip_with(
+        sums, powers,
+        lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
     )
+    return F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 # ---------------------------------------------------------- ngram jaccard

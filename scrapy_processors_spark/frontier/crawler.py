@@ -1,0 +1,249 @@
+"""Iterative BFS crawl-frontier driver (the north-rule layer).
+
+Round structure (all DataFrame ops; per-round checkpoint truncates lineage,
+which is what makes unbounded-round iteration viable on Spark):
+
+1. **fetch-batch selection** — politeness token budget per host + priority
+   ranking.  Top-k-per-host is *two-phase salted*: a local rank within
+   ``(host, salt)`` prunes to ≤k rows per salt before the global per-host
+   rank, so a hot host (Zipf head) never concentrates its whole frontier
+   into one task (explicit skew handling per BASELINE.json north_rule; AQE
+   skew-join covers the residual).
+2. **robots filter** — robots cache is a small table broadcast onto the
+   batch; disallowed URLs leave the frontier permanently.
+3. **expand** — outlinks from the deterministic page function (or a real
+   pages table), canonicalized, hashed (xxhash64 — 64-bit identity space for
+   the 10^10-URL target), bucketed by murmur3 of the host.
+4. **URL-seen dedup** — optional per-bucket Bloom prefilter
+   (``bloom.filter_unseen``), then the exact ``left_anti`` join backstop
+   against the seen table, both co-partitioned by host-bucket.
+5. **state update + checkpoint** — frontier/seen/host_state/fetch_log
+   written as an Iceberg-style snapshot with manifest + metrics; the next
+   round reads back from the snapshot (resume-exactly == in-memory run).
+
+Determinism: every ordering is total — (priority DESC, url_hash ASC) — and
+every value is a pure function of the data, never of task scheduling.  The
+fetch log and final seen set are therefore identical across runs,
+parallelism levels, and checkpoint resumes (tested).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scrapy_processors_spark.frontier import bloom as bloom_mod
+from scrapy_processors_spark.frontier import checkpoint as ckpt
+from scrapy_processors_spark.frontier import graph
+from scrapy_processors_spark.frontier.canonicalize import canonicalize_url, url_host, url_path
+
+
+@dataclass
+class CrawlConfig:
+    n_hosts: int = 1000
+    max_degree: int = 8
+    max_rounds: int = 5
+    n_buckets: int = 64          # host-hash buckets for seen/bloom partitioning
+    n_salts: int = 16            # salt fan-out for hot-host top-k
+    use_bloom: bool = False      # bloom fast path (exact anti-join always runs)
+    bloom_m_bits: int = 1 << 20
+    checkpoint_root: Optional[str] = None
+    checkpoint_every: int = 1
+    metrics: list = field(default_factory=list)
+
+
+def _with_identity(df: DataFrame, url_col: str, cfg: CrawlConfig) -> DataFrame:
+    """canonical url -> (url, url_hash, host, bucket)."""
+    canon = canonicalize_url(F.col(url_col))
+    out = df.withColumn("url", canon)
+    out = out.withColumn("url_hash", F.xxhash64("url"))
+    out = out.withColumn("host", url_host(F.col("url")))
+    # murmur3 host bucket (Spark `hash` IS murmur3-32 — north_star's hash)
+    return out.withColumn("bucket", F.pmod(F.hash("host"), F.lit(cfg.n_buckets)).cast("int"))
+
+
+def _priority(depth, host_seen) -> F.Column:
+    """Deterministic priority: BFS depth decay + host-rarity boost."""
+    return F.round(
+        1.0 / (1.0 + depth) + 1.0 / F.log(2.0 + host_seen.cast("double")), 6
+    )
+
+
+def init_state(spark: SparkSession, seeds: DataFrame, cfg: CrawlConfig) -> dict:
+    frontier = _with_identity(seeds, "url", cfg).select(
+        "url", "url_hash", "host", "bucket",
+        F.lit(0).alias("depth"),
+        _priority(F.lit(0), F.lit(0)).alias("priority"),
+    ).dropDuplicates(["url_hash"])
+    seen = frontier.select("url_hash", "url", "host", "bucket")
+    politeness = graph.politeness_table(spark, cfg.n_hosts)
+    host_state = politeness.select(
+        "host", F.col("burst").alias("tokens"), "tokens_per_round", "burst",
+        F.lit(0).cast("long").alias("n_seen"),
+    )
+    fetch_log = spark.createDataFrame(
+        [], "round int, url string, url_hash long, host string, priority double"
+    )
+    return {"frontier": frontier, "seen": seen, "host_state": host_state,
+            "fetch_log": fetch_log, "round": 0}
+
+
+def _select_batch(frontier: DataFrame, host_state: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Politeness-budgeted, priority-ranked, salt-staged top-k per host."""
+    cand = frontier.join(host_state.select("host", "tokens"), on="host", how="left")
+    cand = cand.withColumn("k", F.greatest(F.floor(F.coalesce("tokens", F.lit(1.0))), F.lit(0)))
+    cand = cand.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(cfg.n_salts)).cast("int"))
+    w_local = Window.partitionBy("host", "salt").orderBy(F.desc("priority"), F.asc("url_hash"))
+    pruned = (
+        cand.withColumn("r_local", F.row_number().over(w_local))
+        .where(F.col("r_local") <= F.col("k"))
+    )
+    w_host = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_hash"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w_host))
+        .where(F.col("rank") <= F.col("k"))
+        .drop("salt", "r_local", "tokens")
+    )
+
+
+def _robots_allowed(batch: DataFrame, robots: DataFrame) -> DataFrame:
+    joined = batch.join(F.broadcast(robots), on="host", how="left")
+    path = url_path(F.col("url"))
+    disallowed = F.exists(
+        F.coalesce("disallow_prefixes", F.array().cast("array<string>")),
+        lambda p: path.startswith(p),
+    )
+    return joined.withColumn("robots_blocked", disallowed).drop("disallow_prefixes")
+
+
+def crawl_round(spark: SparkSession, state: dict, robots: DataFrame,
+                cfg: CrawlConfig) -> dict:
+    rnd = state["round"] + 1
+    t0 = time.time()
+    frontier, seen, host_state = state["frontier"], state["seen"], state["host_state"]
+
+    # 1-2. batch selection + robots
+    batch_all = _robots_allowed(_select_batch(frontier, host_state, cfg), robots)
+    batch = batch_all.where(~F.col("robots_blocked")).drop("robots_blocked")
+    blocked = batch_all.where(F.col("robots_blocked")).select("url_hash")
+    fetched = batch.select(
+        F.lit(rnd).alias("round"), "url", "url_hash", "host", "priority"
+    )
+
+    # 3. expand outlinks (deterministic synthetic web)
+    links = (
+        batch.select("depth", F.explode(graph.outlinks(
+            F.col("url"), cfg.max_degree, cfg.n_hosts)).alias("raw_url"))
+    )
+    links = _with_identity(links, "raw_url", cfg).select("url", "url_hash", "host",
+                                                         "bucket", "depth")
+    links = (
+        links.groupBy("url_hash")
+        .agg(F.min("url").alias("url"), F.min("host").alias("host"),
+             F.min("bucket").alias("bucket"), (F.min("depth") + 1).alias("depth"))
+    )
+
+    # 4. URL-seen dedup: bloom fast path + exact anti-join backstop
+    if cfg.use_bloom:
+        segments = bloom_mod.build_segments(
+            seen.select("bucket", "url_hash"), cfg.bloom_m_bits)
+        tagged = bloom_mod.filter_unseen(links, segments)
+        definitely_new = tagged.where(~F.col("maybe_seen")).drop("maybe_seen")
+        residue = tagged.where(F.col("maybe_seen")).drop("maybe_seen")
+        new_urls = definitely_new.unionByName(
+            residue.join(seen.select("url_hash"), on="url_hash", how="left_anti")
+        )
+    else:
+        new_urls = links.join(seen.select("url_hash"), on="url_hash", how="left_anti")
+
+    # host-rarity at discovery time
+    host_counts = host_state.select("host", "n_seen")
+    new_frontier_rows = (
+        new_urls.join(host_counts, on="host", how="left")
+        .select(
+            "url", "url_hash", "host", "bucket", "depth",
+            _priority(F.col("depth"), F.coalesce("n_seen", F.lit(0))).alias("priority"),
+        )
+    )
+
+    # 5. state update
+    fetched_hashes = fetched.select("url_hash")
+    frontier_next = (
+        frontier.join(fetched_hashes, on="url_hash", how="left_anti")
+        .join(blocked, on="url_hash", how="left_anti")
+        .unionByName(new_frontier_rows)
+    )
+    seen_next = seen.unionByName(new_frontier_rows.select("url_hash", "url", "host", "bucket"))
+
+    per_host_new = new_frontier_rows.groupBy("host").agg(F.count("*").alias("new_n"))
+    per_host_fetch = fetched.groupBy("host").agg(F.count("*").alias("fetched_n"))
+    host_state_next = (
+        host_state
+        .join(per_host_fetch, on="host", how="left")
+        .join(per_host_new, on="host", how="left")
+        .select(
+            "host",
+            F.least(
+                F.col("burst"),
+                F.col("tokens") - F.coalesce("fetched_n", F.lit(0)) + F.col("tokens_per_round"),
+            ).alias("tokens"),
+            "tokens_per_round", "burst",
+            (F.col("n_seen") + F.coalesce("new_n", F.lit(0))).alias("n_seen"),
+        )
+    )
+    fetch_log_next = state["fetch_log"].unionByName(fetched)
+
+    new_state = {"frontier": frontier_next, "seen": seen_next,
+                 "host_state": host_state_next, "fetch_log": fetch_log_next,
+                 "round": rnd}
+
+    # 6. checkpoint (also the lineage-truncation point)
+    if cfg.checkpoint_root and rnd % cfg.checkpoint_every == 0:
+        n_fetched = fetched.count()
+        n_new = new_frontier_rows.count()
+        metrics = {
+            "fetched": n_fetched,
+            "new_urls": n_new,
+            "wall_s": round(time.time() - t0, 3),
+        }
+        cfg.metrics.append({"round": rnd, **metrics})
+        ckpt.write_checkpoint(cfg.checkpoint_root, rnd, frontier_next, seen_next,
+                              host_state_next, fetch_log_next, metrics)
+        loaded = ckpt.read_checkpoint(spark, cfg.checkpoint_root, rnd)
+        new_state = {"frontier": loaded["frontier"], "seen": loaded["seen"],
+                     "host_state": loaded["host_state"],
+                     "fetch_log": loaded["fetch_log"], "round": rnd}
+    else:
+        # truncate lineage even without a durable checkpoint — iterative
+        # plans grow superlinearly otherwise
+        for key in ("frontier", "seen", "host_state", "fetch_log"):
+            new_state[key] = new_state[key].localCheckpoint(eager=False)
+    return new_state
+
+
+def run_crawl(spark: SparkSession, cfg: CrawlConfig,
+              seeds: Optional[DataFrame] = None,
+              robots: Optional[DataFrame] = None,
+              resume: bool = False) -> dict:
+    robots = robots if robots is not None else graph.robots_table(spark, cfg.n_hosts)
+    if resume and cfg.checkpoint_root:
+        last = ckpt.latest_round(cfg.checkpoint_root)
+        if last is not None:
+            loaded = ckpt.read_checkpoint(spark, cfg.checkpoint_root, last)
+            state = {"frontier": loaded["frontier"], "seen": loaded["seen"],
+                     "host_state": loaded["host_state"],
+                     "fetch_log": loaded["fetch_log"], "round": last}
+        else:
+            state = init_state(spark, seeds if seeds is not None
+                               else graph.seed_urls(spark, 100, cfg.n_hosts), cfg)
+    else:
+        state = init_state(spark, seeds if seeds is not None
+                           else graph.seed_urls(spark, 100, cfg.n_hosts), cfg)
+    while state["round"] < cfg.max_rounds:
+        state = crawl_round(spark, state, robots, cfg)
+    return state

@@ -1,0 +1,131 @@
+"""Driver-facing queries + DuckDB oracles for the frontier layer.
+
+URL inputs are crafted deterministically from the documents table (no
+external data); the canonicalization oracle reuses the exact regex rules of
+``canonicalize.CANONICALIZE_SQL`` so both engines run the same spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scrapy_processors_spark.frontier.canonicalize import (
+    CANONICALIZE_SQL,
+    canonicalize_url,
+    url_host,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _raw_url(docs: DataFrame) -> F.Column:
+    """Messy deterministic URL: mixed-case scheme/host, default port,
+    fragment, trailing slash — all canonicalization rules exercised."""
+    return F.concat(
+        F.lit("HTTPS://Host"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".Example.com:443/Path/"), F.col("source"),
+        F.lit("/"), F.lit("#frag"),
+    )
+
+
+_RAW_URL_SQL = ("'HTTPS://Host' || CAST(doc_id % 50 AS VARCHAR) || "
+                "'.Example.com:443/Path/' || source || '/' || '#frag'")
+
+
+def q_url_canonicalize(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", canonicalize_url(_raw_url(docs)).alias("canon_url")
+    )
+
+
+def q_url_seen_antijoin(spark, sf_dir):
+    """URL-seen dedup shape: candidates anti-joined against a seen set (the
+    exact backstop of the Bloom fast path)."""
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://host"), (F.col("doc_id") % 97).cast("string"),
+                 F.lit(".example.com/p/"), (F.col("doc_id") % 1000).cast("string"),
+                 ).alias("url"),
+    )
+    seen = urls.where(F.col("doc_id") % 3 == 0).select(F.xxhash64("url").alias("url_hash"))
+    cand = urls.withColumn("url_hash", F.xxhash64("url"))
+    return (
+        cand.join(seen, on="url_hash", how="left_anti")
+        .select("doc_id", "url")
+    )
+
+
+def q_frontier_priority(spark, sf_dir):
+    """Fetch-batch selection shape: priority ranking + top-k per host window."""
+    docs = _t(spark, sf_dir, "documents")
+    fr = docs.select(
+        "doc_id",
+        F.concat(F.lit("host"), (F.col("doc_id") % 20).cast("string")).alias("host"),
+        (F.col("doc_id") % 7).alias("depth"),
+    ).withColumn(
+        "priority", F.round(1.0 / (1.0 + F.col("depth")), 6)
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        fr.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("host", "doc_id", "priority", "rank")
+    )
+
+
+def q_crawl_bfs(spark, sf_dir):
+    """Three BFS rounds of the deterministic synthetic crawl (rows-only
+    check: the crawl is not SQL-expressible; cross-run/parallelism equality
+    is covered by tests + bench)."""
+    from scrapy_processors_spark.frontier.crawler import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(n_hosts=50, max_degree=4, max_rounds=3, n_buckets=8)
+    state = run_crawl(spark, cfg)
+    return state["fetch_log"].orderBy("round", F.desc("priority"), "url_hash")
+
+
+FRONTIER_QUERIES = {
+    "url_canonicalize": q_url_canonicalize,
+    "url_seen_antijoin": q_url_seen_antijoin,
+    "frontier_priority": q_frontier_priority,
+    "crawl_bfs": q_crawl_bfs,
+}
+
+FRONTIER_ORACLES = {
+    "url_canonicalize": f"""
+        SELECT doc_id, {CANONICALIZE_SQL.replace('{u}', _RAW_URL_SQL)} AS canon_url
+        FROM documents
+    """,
+    # xxhash64 is Spark-side only; the oracle reproduces the *set semantics*
+    # (anti-join on exact url identity — equivalent since xxhash64 is
+    # injective on this candidate set, and both sides key on the same urls)
+    "url_seen_antijoin": """
+        WITH urls AS (
+            SELECT doc_id,
+                   'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example.com/p/'
+                   || CAST(doc_id % 1000 AS VARCHAR) AS url
+            FROM documents
+        )
+        SELECT u.doc_id, u.url FROM urls u
+        WHERE u.url NOT IN (SELECT url FROM urls WHERE doc_id % 3 = 0)
+    """,
+    "frontier_priority": """
+        WITH fr AS (
+            SELECT doc_id,
+                   'host' || CAST(doc_id % 20 AS VARCHAR) AS host,
+                   doc_id % 7 AS depth,
+                   round(1.0 / (1.0 + (doc_id % 7)), 6) AS priority
+            FROM documents
+        ), ranked AS (
+            SELECT host, doc_id, priority,
+                   row_number() OVER (PARTITION BY host ORDER BY priority DESC, doc_id ASC) AS rank
+            FROM fr
+        )
+        SELECT host, doc_id, priority, rank FROM ranked WHERE rank <= 3
+    """,
+}

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import re
 from decimal import Decimal, InvalidOperation
-from typing import NamedTuple, Optional
+from typing import Optional
 
 # First maximal run of digits possibly containing separators/spaces.
 _NUM_RE = re.compile(r"\d(?:[\d\s., ]*\d)?")
@@ -31,14 +31,31 @@ _CURRENCY_RE = re.compile(
 )
 
 
-class ParsedPrice(NamedTuple):
-    amount: Optional[Decimal]
-    currency: Optional[str]
-    amount_text: Optional[str]
+class ParsedPrice:
+    """Price value object.  Deliberately NOT a tuple/iterable: MapCompose
+    flattens iterables (reference ``arg_to_iter``), and the reference's
+    ``price_parser.Price`` is a non-iterable attrs object."""
+
+    __slots__ = ("amount", "currency", "amount_text")
+
+    def __init__(self, amount: Optional[Decimal], currency: Optional[str],
+                 amount_text: Optional[str]):
+        self.amount = amount
+        self.currency = currency
+        self.amount_text = amount_text
 
     @property
     def amount_float(self) -> Optional[float]:
         return float(self.amount) if self.amount is not None else None
+
+    def __repr__(self) -> str:
+        return (f"ParsedPrice(amount={self.amount!r}, currency={self.currency!r}, "
+                f"amount_text={self.amount_text!r})")
+
+    def __eq__(self, other) -> bool:
+        return (isinstance(other, ParsedPrice) and self.amount == other.amount
+                and self.currency == other.currency
+                and self.amount_text == other.amount_text)
 
 
 def guess_decimal_separator(num: str) -> str:

@@ -119,6 +119,12 @@ class DateTime(Op):
 
     def to_column(self, col: Column) -> Column:
         fmt, input_tz, output_tz, return_date, return_time = self.unpack_context()
+        if "%A" in fmt or "%a" in fmt or "%Z" in fmt:
+            # Spark's CORRECTED-mode parser rejects day-name (E) patterns for
+            # parsing (SPARK-31030) — run the exact strptime kernel instead.
+            from scrapy_processors_spark.core.pipeline import MapCompose
+
+            return MapCompose(self.as_kernel()).apply_scalar(col)
         java_fmt = strptime_to_java(fmt)
         ts = F.to_timestamp(col, java_fmt)
         in_name, out_name = _tz_name(input_tz), _tz_name(output_tz)

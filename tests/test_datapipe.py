@@ -1,0 +1,112 @@
+"""Datapipe layer sanity: dedup finds planted duplicates, similarity ranks a
+vector's twin first, textstats are consistent, multimodal plumbing yields the
+declared schema."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from scrapy_processors_spark.datapipe import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),   # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog", "en"),     # near dup
+        (3, "completely different content about spark engines", "en"),
+        (4, "el rapido zorro marron salta sobre el perro que es", "es"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup_groups(docs).collect()
+    groups = {r["keep_id"]: r["n_dups"] for r in out}
+    assert groups[0] == 2  # docs 0,1 collapse
+    assert len(out) == 4
+
+
+def test_minhash_finds_exact_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_simhash_identical_for_dups(docs):
+    out = {r["doc_id"]: r["simhash"]
+           for r in docs.select("doc_id", dedup.simhash16(F.col("text")).alias("simhash")).collect()}
+    assert out[0] == out[1]
+    assert 0 <= out[0] < 2 ** 16
+    assert out[0] != out[3]
+
+
+def test_ngram_jaccard(docs):
+    a = docs.where("doc_id = 0").select(F.col("text").alias("ta"))
+    b = docs.where("doc_id = 2").select(F.col("text").alias("tb"))
+    j = a.crossJoin(b).select(
+        dedup.ngram_jaccard(F.col("ta"), F.col("tb")).alias("j")).collect()[0]["j"]
+    assert 0.4 < j < 1.0
+    same = a.crossJoin(a.select(F.col("ta").alias("tb"))).select(
+        dedup.ngram_jaccard(F.col("ta"), F.col("tb")).alias("j")).collect()[0]["j"]
+    assert same == 1.0
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import math
+    rows = []
+    for i in range(20):
+        base = [math.sin(i * 7 + d) for d in range(8)]
+        rows.append((i, base))
+    rows.append((100, [x + 0.001 for x in rows[0][1]]))  # near-twin of vec 0
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk(vecs):
+    q = vecs.where("vec_id = 0")
+    out = similarity.cosine_topk(q, vecs, k=1).collect()
+    assert out[0]["cand_id"] == 100  # the planted twin ranks first
+    assert out[0]["cos"] > 0.999
+
+
+def test_lsh_bucketed_topk(vecs):
+    q = vecs.where("vec_id = 0")
+    out = similarity.lsh_bucketed_topk(q, vecs, k=3, dim=8).collect()
+    # twin shares every hyperplane bucket (cos ~ 1) so it must be found
+    assert any(r["cand_id"] == 100 for r in out)
+
+
+def test_textstats(docs):
+    out = docs.select(
+        "doc_id",
+        textstats.lang_id(F.col("text")).alias("lang_guess"),
+        textstats.token_count_ws(F.col("text")).alias("nt"),
+        textstats.quality_score(F.col("text")).alias("q"),
+        textstats.fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["lang_guess"] == "en"
+    assert by_id[4]["lang_guess"] == "es"
+    assert by_id[0]["nt"] == 9
+    assert 0.0 <= by_id[0]["q"] <= 1.0
+    assert by_id[0]["fp"] == by_id[1]["fp"]
+    assert by_id[0]["fp"] != by_id[3]["fp"]
+
+
+def test_multimodal_plumbing(docs):
+    media = multimodal.media_from_documents(docs)
+    feats = multimodal.extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
+    # deterministic: same input -> same features
+    again = {r["media_id"]: r["features"] for r in multimodal.extract_features(media, fake=True).collect()}
+    assert all(again[r["media_id"]] == r["features"] for r in rows)
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx", fake=False)

@@ -1,0 +1,109 @@
+"""Frontier layer: canonicalization rules, Bloom segments, crawl determinism,
+checkpoint-resume equality (north_rule acceptance behaviours at test scale)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from scrapy_processors_spark.frontier.canonicalize import canonicalize_url, canonicalize_url_py
+from scrapy_processors_spark.frontier.crawler import CrawlConfig, run_crawl
+from scrapy_processors_spark.frontier import bloom, graph
+from tests.conftest import run_scalar
+
+CANON_CASES = [
+    ("HTTPS://Example.COM/path/#frag", "https://example.com/path"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/a/", "https://example.com/a"),
+    ("https://example.com", "https://example.com/"),
+    ("  https://example.com/x  ", "https://example.com/x"),
+    ("https://example.com/a//", "https://example.com/a"),
+    ("https://example.com/a?q=1#f", "https://example.com/a?q=1"),
+]
+
+
+@pytest.mark.parametrize("inp,exp", CANON_CASES)
+def test_canonicalize_spark(spark, inp, exp):
+    assert run_scalar(spark, lambda c: canonicalize_url(c), [inp]) == [exp]
+
+
+@pytest.mark.parametrize("inp,exp", CANON_CASES)
+def test_canonicalize_py(inp, exp):
+    assert canonicalize_url_py(inp) == exp
+
+
+def _fetch_order(state):
+    rows = state["fetch_log"].orderBy(
+        "round", F.desc("priority"), "url_hash").collect()
+    return [(r["round"], r["url"]) for r in rows]
+
+
+def _seen_set(state):
+    return {r["url"] for r in state["seen"].select("url").collect()}
+
+
+CFG = dict(n_hosts=30, max_degree=3, max_rounds=3, n_buckets=4)
+
+
+def test_crawl_deterministic_across_runs(spark):
+    s1 = run_crawl(spark, CrawlConfig(**CFG))
+    s2 = run_crawl(spark, CrawlConfig(**CFG))
+    assert _fetch_order(s1) == _fetch_order(s2)
+    assert _seen_set(s1) == _seen_set(s2)
+    assert len(_fetch_order(s1)) > 0
+
+
+def test_crawl_partitioning_invariance(spark):
+    """Same result regardless of shuffle-partition count (stand-in for the
+    N vs 4N executor equality; the bench covers local[8] vs local[32])."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        s1 = run_crawl(spark, CrawlConfig(**CFG))
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        s2 = run_crawl(spark, CrawlConfig(**CFG))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert _fetch_order(s1) == _fetch_order(s2)
+    assert _seen_set(s1) == _seen_set(s2)
+
+
+def test_crawl_bloom_path_equals_exact(spark):
+    s1 = run_crawl(spark, CrawlConfig(**CFG, use_bloom=False))
+    s2 = run_crawl(spark, CrawlConfig(**CFG, use_bloom=True, bloom_m_bits=1 << 16))
+    assert _fetch_order(s1) == _fetch_order(s2)
+    assert _seen_set(s1) == _seen_set(s2)
+
+
+def test_checkpoint_resume_equals_uninterrupted(spark, tmp_path):
+    root = str(tmp_path / "ckpt")
+    # uninterrupted 4 rounds
+    full = run_crawl(spark, CrawlConfig(**{**CFG, "max_rounds": 4}))
+    # 2 rounds with checkpoint, then resume to 4
+    cfg1 = CrawlConfig(**{**CFG, "max_rounds": 2}, checkpoint_root=root)
+    run_crawl(spark, cfg1)
+    cfg2 = CrawlConfig(**{**CFG, "max_rounds": 4}, checkpoint_root=root)
+    resumed = run_crawl(spark, cfg2, resume=True)
+    assert _fetch_order(full) == _fetch_order(resumed)
+    assert _seen_set(full) == _seen_set(resumed)
+
+
+def test_robots_respected(spark):
+    state = run_crawl(spark, CrawlConfig(**CFG))
+    robots = graph.robots_table(spark, 30)
+    fetched = state["fetch_log"].join(robots, on="host")
+    bad = fetched.where(
+        F.exists("disallow_prefixes",
+                 lambda p: F.regexp_extract("url", r"^[^:]+://[^/?#]*([^?#]*)", 1).startswith(p))
+    ).count()
+    assert bad == 0
+
+
+def test_bloom_no_false_negatives(spark):
+    df = spark.range(500).select(
+        (F.col("id") % 4).cast("int").alias("bucket"),
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+    )
+    segs = bloom.build_segments(df, m_bits=1 << 14)
+    tagged = bloom.filter_unseen(df, segs)
+    # every inserted hash must be flagged maybe_seen (no false negatives)
+    assert tagged.where(~F.col("maybe_seen")).count() == 0
