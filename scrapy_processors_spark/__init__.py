@@ -31,6 +31,7 @@ from scrapy_processors_spark.operators.datetime_ops import (
 )
 from scrapy_processors_spark.operators.contact import Emails, PhoneNumbers, Socials
 from scrapy_processors_spark.operators.misc import CallMethod, GetAttr, JsonGet, SelectJmes
+from scrapy_processors_spark.operators.url import UrlCanonicalize
 from scrapy_processors_spark.operators.reducers import (
     Coalesce,
     Flatten,
@@ -58,7 +59,7 @@ __all__ = [
     "ExtractDigits", "NormalizeNumericString", "PriceParser", "ToFloat",
     "DateTimeExtraordinaire", "DateTime", "Date", "Time",
     "Emails", "PhoneNumbers", "Socials",
-    "SelectJmes", "JsonGet", "GetAttr", "CallMethod",
+    "SelectJmes", "JsonGet", "GetAttr", "CallMethod", "UrlCanonicalize",
     "TakeAll", "Identity", "TakeAllTruthy", "TakeFirst", "TakeFirstTruthy",
     "Coalesce", "Join", "Flatten",
     "clean_string",

@@ -105,7 +105,14 @@ class Pipeline:
 
     # ---- identity ----------------------------------------------------------
     def __str__(self) -> str:
-        return f"{type(self).__name__}({', '.join(str(p) for p in self.processors)})"
+        # mirrors the reference's processor_to_str (base.py:1012-1031)
+        def p2s(p) -> str:
+            if isinstance(p, (Op, Pipeline)):
+                return str(p)
+            name = getattr(p, "__qualname__", None) or str(p)
+            return "lambda_processor" if "<lambda>" in name else name
+
+        return f"{type(self).__name__}({', '.join(p2s(p) for p in self.processors)})"
 
     __repr__ = __str__
 

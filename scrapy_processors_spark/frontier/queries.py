@@ -36,9 +36,11 @@ _RAW_URL_SQL = ("'HTTPS://Host' || CAST(doc_id % 50 AS VARCHAR) || "
 
 
 def q_url_canonicalize(spark, sf_dir):
+    from scrapy_processors_spark import UrlCanonicalize
+
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", canonicalize_url(_raw_url(docs)).alias("canon_url")
+        "doc_id", UrlCanonicalize()(_raw_url(docs)).alias("canon_url")
     )
 
 

@@ -148,3 +148,20 @@ def test_fused_kernel_group_is_single_udf(spark):
     plan = df.select(mc.apply_scalar(F.col("v")).alias("r"))._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_spark_error_provenance(spark):
+    # kernel-stage failures surface with the reference's provenance format
+    mc = MapCompose(UnicodeEscape(decoding_errors="strict"),
+                    lambda v: (_ for _ in ()).throw(RuntimeError("boom")))
+    df = spark.createDataFrame([("x",)], "v string")
+    with pytest.raises(Exception, match="Error in MapCompose"):
+        df.select(mc.apply_scalar(F.col("v")).alias("r")).collect()
+
+
+def test_url_canonicalize_op(spark):
+    from scrapy_processors_spark import UrlCanonicalize
+
+    got = run_scalar(spark, UrlCanonicalize(), ["HTTP://A.B:80/x/#f"])
+    assert got == ["http://a.b/x"]
+    assert UrlCanonicalize().process_value("HTTP://A.B:80/x/#f") == "http://a.b/x"
