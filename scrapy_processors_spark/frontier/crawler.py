@@ -54,6 +54,10 @@ class CrawlConfig:
     bloom_m_bits: int = 1 << 20
     checkpoint_root: Optional[str] = None
     checkpoint_every: int = 1
+    # Broadcast host_state/robots onto the frontier (no shuffle).  Valid while
+    # the host table fits an executor (~10^6 hosts); at 10^8-host scale flip
+    # off and these become bucketed shuffle joins.
+    broadcast_host_tables: bool = True
     metrics: list = field(default_factory=list)
 
 
@@ -93,32 +97,43 @@ def init_state(spark: SparkSession, seeds: DataFrame, cfg: CrawlConfig) -> dict:
             "fetch_log": fetch_log, "round": 0}
 
 
-def _select_batch(frontier: DataFrame, host_state: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """Politeness-budgeted, priority-ranked, salt-staged top-k per host."""
-    cand = frontier.join(host_state.select("host", "tokens"), on="host", how="left")
+def _rank_frontier(frontier: DataFrame, host_state: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Politeness-budgeted, priority-ranked, salt-staged ranking per host.
+
+    Returns the frontier + ``k`` (host token budget) + ``rank``; callers split
+    rows into the fetch batch (rank<=k) and the carryover (rank>k) with a
+    filter — no anti-join needed.  The local (host,salt) pre-rank bounds any
+    hot host's rows per task before the single-partition host rank.
+    """
+    hs = host_state.select("host", "tokens")
+    if cfg.broadcast_host_tables:
+        hs = F.broadcast(hs)
+    cand = frontier.join(hs, on="host", how="left")
     cand = cand.withColumn("k", F.greatest(F.floor(F.coalesce("tokens", F.lit(1.0))), F.lit(0)))
     cand = cand.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(cfg.n_salts)).cast("int"))
     w_local = Window.partitionBy("host", "salt").orderBy(F.desc("priority"), F.asc("url_hash"))
-    pruned = (
-        cand.withColumn("r_local", F.row_number().over(w_local))
-        .where(F.col("r_local") <= F.col("k"))
-    )
+    pruned = cand.withColumn("r_local", F.row_number().over(w_local))
     w_host = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_hash"))
-    return (
-        pruned.withColumn("rank", F.row_number().over(w_host))
-        .where(F.col("rank") <= F.col("k"))
-        .drop("salt", "r_local", "tokens")
+    ranked_head = (
+        pruned.where(F.col("r_local") <= F.col("k"))
+        .withColumn("rank", F.row_number().over(w_host))
     )
+    # rows pruned locally can never be in the global top-k: give them an
+    # impossible rank instead of shuffling them through the host window
+    ranked_tail = pruned.where(F.col("r_local") > F.col("k")).withColumn(
+        "rank", F.lit(None).cast("int"))
+    return ranked_head.unionByName(ranked_tail).drop("salt", "r_local", "tokens")
 
 
-def _robots_allowed(batch: DataFrame, robots: DataFrame) -> DataFrame:
-    joined = batch.join(F.broadcast(robots), on="host", how="left")
+def _robots_allowed(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Drop robots-disallowed URLs (broadcast join + filter; no shuffle)."""
+    joined = frontier.join(F.broadcast(robots), on="host", how="left")
     path = url_path(F.col("url"))
     disallowed = F.exists(
         F.coalesce("disallow_prefixes", F.array().cast("array<string>")),
         lambda p: path.startswith(p),
     )
-    return joined.withColumn("robots_blocked", disallowed).drop("disallow_prefixes")
+    return joined.where(~disallowed).drop("disallow_prefixes")
 
 
 def crawl_round(spark: SparkSession, state: dict, robots: DataFrame,
@@ -127,10 +142,13 @@ def crawl_round(spark: SparkSession, state: dict, robots: DataFrame,
     t0 = time.time()
     frontier, seen, host_state = state["frontier"], state["seen"], state["host_state"]
 
-    # 1-2. batch selection + robots
-    batch_all = _robots_allowed(_select_batch(frontier, host_state, cfg), robots)
-    batch = batch_all.where(~F.col("robots_blocked")).drop("robots_blocked")
-    blocked = batch_all.where(F.col("robots_blocked")).select("url_hash")
+    # 1. robots filter over the whole frontier (broadcast, zero shuffle),
+    # 2. politeness-budgeted ranking; rank<=k fetches, the rest carries over
+    #    (a filter split — replaces two anti-joins of the previous design)
+    ranked = _rank_frontier(_robots_allowed(frontier, robots), host_state, cfg)
+    batch = ranked.where(F.col("rank") <= F.col("k"))
+    carryover = ranked.where(F.col("rank").isNull() | (F.col("rank") > F.col("k"))) \
+        .select("url", "url_hash", "host", "bucket", "depth", "priority")
     fetched = batch.select(
         F.lit(rnd).alias("round"), "url", "url_hash", "host", "priority"
     )
@@ -163,6 +181,8 @@ def crawl_round(spark: SparkSession, state: dict, robots: DataFrame,
 
     # host-rarity at discovery time
     host_counts = host_state.select("host", "n_seen")
+    if cfg.broadcast_host_tables:
+        host_counts = F.broadcast(host_counts)
     new_frontier_rows = (
         new_urls.join(host_counts, on="host", how="left")
         .select(
@@ -171,13 +191,8 @@ def crawl_round(spark: SparkSession, state: dict, robots: DataFrame,
         )
     )
 
-    # 5. state update
-    fetched_hashes = fetched.select("url_hash")
-    frontier_next = (
-        frontier.join(fetched_hashes, on="url_hash", how="left_anti")
-        .join(blocked, on="url_hash", how="left_anti")
-        .unionByName(new_frontier_rows)
-    )
+    # 5. state update (carryover already excludes fetched + robots-blocked)
+    frontier_next = carryover.unionByName(new_frontier_rows)
     seen_next = seen.unionByName(new_frontier_rows.select("url_hash", "url", "host", "bucket"))
 
     per_host_new = new_frontier_rows.groupBy("host").agg(F.count("*").alias("new_n"))
