@@ -40,13 +40,24 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text",
 
 # ---------------------------------------------------------------- minhash
 def word_shingles(text: Column, n: int = 2) -> Column:
-    """Word n-gram shingles as an array<string> (distinct not applied)."""
+    """Word n-gram shingles as an array<string> (distinct not applied).
+
+    Built from shifted ``slice`` views combined with ``zip_with`` — HOF
+    *arguments* evaluate once, whereas indexing ``words`` inside a lambda
+    body would re-split the text per element (O(n_words^2); measured ~30x
+    slower at sf0.1).  ``concat_ws`` drops the trailing nulls of the shorter
+    shifted views, so a w-word doc yields max(w-(n-1),1) shingles exactly
+    like the index formulation.
+    """
     words = F.split(text, " ")
+    if n == 1:
+        return words
     k = F.greatest(F.size(words) - (n - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
-    )
+    shingles = F.slice(words, 1, k)
+    for i in range(1, n):
+        shifted = F.slice(words, i + 1, k)
+        shingles = F.zip_with(shingles, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return shingles
 
 
 def minhash_column(shingles: Column, seed: int) -> Column:

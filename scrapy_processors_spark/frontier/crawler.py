@@ -144,8 +144,13 @@ def crawl_round(spark: SparkSession, state: dict, robots: DataFrame,
 
     # 1. robots filter over the whole frontier (broadcast, zero shuffle),
     # 2. politeness-budgeted ranking; rank<=k fetches, the rest carries over
-    #    (a filter split — replaces two anti-joins of the previous design)
+    #    (a filter split — replaces two anti-joins of the previous design).
+    # The ranked frame feeds batch, carryover, fetched AND the link expansion
+    # — materialize it ONCE (downstream state frames would otherwise each
+    # re-execute the ranking shuffles; measured 3-4x round cost).
     ranked = _rank_frontier(_robots_allowed(frontier, robots), host_state, cfg)
+    if not (cfg.checkpoint_root and rnd % cfg.checkpoint_every == 0):
+        ranked = ranked.localCheckpoint(eager=True)
     batch = ranked.where(F.col("rank") <= F.col("k"))
     carryover = ranked.where(F.col("rank").isNull() | (F.col("rank") > F.col("k"))) \
         .select("url", "url_hash", "host", "bucket", "depth", "priority")
@@ -190,6 +195,9 @@ def crawl_round(spark: SparkSession, state: dict, robots: DataFrame,
             _priority(F.col("depth"), F.coalesce("n_seen", F.lit(0))).alias("priority"),
         )
     )
+    if not (cfg.checkpoint_root and rnd % cfg.checkpoint_every == 0):
+        # shared by frontier_next, seen_next and the host_state aggregates
+        new_frontier_rows = new_frontier_rows.localCheckpoint(eager=True)
 
     # 5. state update (carryover already excludes fetched + robots-blocked)
     frontier_next = carryover.unionByName(new_frontier_rows)
@@ -234,10 +242,14 @@ def crawl_round(spark: SparkSession, state: dict, robots: DataFrame,
                      "host_state": loaded["host_state"],
                      "fetch_log": loaded["fetch_log"], "round": rnd}
     else:
-        # truncate lineage even without a durable checkpoint — iterative
-        # plans grow superlinearly otherwise
-        for key in ("frontier", "seen", "host_state", "fetch_log"):
-            new_state[key] = new_state[key].localCheckpoint(eager=False)
+        # frontier/seen/fetch_log are now cheap filters/unions over the two
+        # eagerly-checkpointed frames (ranked, new_frontier_rows); only
+        # host_state carries a join chain worth truncating each round
+        new_state["host_state"] = new_state["host_state"].localCheckpoint(eager=True)
+        if rnd % 10 == 0:
+            # compact the growing union-of-checkpointed-legs plans
+            for key in ("frontier", "seen", "fetch_log"):
+                new_state[key] = new_state[key].localCheckpoint(eager=True)
     return new_state
 
 

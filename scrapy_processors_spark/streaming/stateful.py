@@ -1,0 +1,73 @@
+"""Custom stateful streaming operator: streaming URL-seen deduplication.
+
+``applyInPandasWithState`` keyed by host-bucket keeps a compact per-bucket
+seen-set (the streaming twin of the batch frontier's Bloom+anti-join): each
+micro-batch emits only first-seen URLs, and the state store persists the
+per-bucket hash set across batches and restarts (checkpointLocation).
+
+State is a packed uint64 numpy buffer (8 bytes/url) — at 10^10 URLs the
+batch frontier's Bloom segments are the right structure; this operator is
+for bounded streaming windows (e.g. recent-URL suppression) where exactness
+per bucket matters.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType([
+    T.StructField("bucket", T.IntegerType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("url_hash", T.LongType()),
+])
+
+STATE_SCHEMA = T.StructType([T.StructField("seen", T.BinaryType())])
+
+
+def _dedup_fn(key: Tuple[int], pdfs: Iterator[pd.DataFrame],
+              state: GroupState) -> Iterable[pd.DataFrame]:
+    if state.exists:
+        (blob,) = state.get
+        seen = np.frombuffer(blob, dtype=np.uint64) if blob else np.array([], dtype=np.uint64)
+    else:
+        seen = np.array([], dtype=np.uint64)
+    seen_set = set(seen.tolist())
+
+    for pdf in pdfs:
+        hashes = pdf["url_hash"].to_numpy(dtype=np.int64).astype(np.uint64)
+        fresh_mask = np.fromiter(
+            ((h not in seen_set) for h in hashes.tolist()), dtype=bool, count=len(hashes))
+        # de-dup within the batch too (keep first occurrence)
+        out_rows = []
+        for i, h in enumerate(hashes.tolist()):
+            if fresh_mask[i] and h not in seen_set:
+                seen_set.add(h)
+                out_rows.append(i)
+        if out_rows:
+            yield pdf.iloc[out_rows][["bucket", "url", "url_hash"]]
+
+    state.update((np.fromiter(seen_set, dtype=np.uint64).tobytes(),))
+
+
+def dedup_urls_stream(urls: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """urls(url string, ...) stream -> first-seen urls only (across batches)."""
+    keyed = urls.select(
+        F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -165,3 +165,26 @@ def test_url_canonicalize_op(spark):
     got = run_scalar(spark, UrlCanonicalize(), ["HTTP://A.B:80/x/#f"])
     assert got == ["http://a.b/x"]
     assert UrlCanonicalize().process_value("HTTP://A.B:80/x/#f") == "http://a.b/x"
+
+
+def test_array_input_kernel_stage_spark(spark):
+    # pandas-tier stage over an ArrayType column (FlatBatch list path)
+    df = spark.createDataFrame(
+        [(0, ["a\\tb", "c\\nd"]), (1, []), (2, None)], "id long, v array<string>")
+    mc = MapCompose(UnicodeEscape())
+    out = {r["id"]: r["r"] for r in
+           df.select("id", mc.apply_array(F.col("v")).alias("r")).collect()}
+    assert out[0] == ["a\tb", "c\nd"]
+    assert out[1] == []
+    assert out[2] == []
+
+
+def test_array_input_list_valued_kernel_spark(spark):
+    from scrapy_processors_spark import PhoneNumbers
+
+    df = spark.createDataFrame(
+        [(0, ["call 816.360.3390 now", "+1 650-253-0000 here", "nothing"])],
+        "id long, v array<string>")
+    mc = MapCompose(PhoneNumbers())
+    out = df.select(mc.apply_array(F.col("v")).alias("r")).collect()[0]["r"]
+    assert out == ["+18163603390", "+16502530000"]
