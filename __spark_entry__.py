@@ -176,6 +176,62 @@ def q_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", op(s).alias("t"))
 
 
+_MONTHS_BY_LANG = {
+    "en": ["january", "february", "march", "april", "may", "june", "july",
+           "august", "september", "october", "november", "december"],
+    "fr": ["janvier", "février", "mars", "avril", "mai", "juin", "juillet",
+           "août", "septembre", "octobre", "novembre", "décembre"],
+    "es": ["enero", "febrero", "marzo", "abril", "mayo", "junio", "julio",
+           "agosto", "septiembre", "octubre", "noviembre", "diciembre"],
+    "pt": ["janeiro", "fevereiro", "março", "abril", "maio", "junho", "julho",
+           "agosto", "setembro", "outubro", "novembro", "dezembro"],
+}
+
+
+def q_datetime_extraordinaire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy multi-locale parse (reference single_value.py:794-868; locale
+    shapes from reference tests/test_single_value.py:545-577): each event's
+    ts is rendered as an en/fr/es/pt month-name date string (language keyed
+    by event_id % 4), parsed back with DateTimeExtraordinaire pinned to
+    America/New_York, and emitted as a UTC timestamp string."""
+    from scrapy_processors_spark import DateTimeExtraordinaire
+
+    ev = _t(spark, sf_dir, "events")
+    idx = F.pmod(F.col("event_id"), F.lit(4))
+    mon = F.month("ts")
+    name_for = {
+        lang: F.get(F.array(*[F.lit(m) for m in months]), mon - 1)
+        for lang, months in _MONTHS_BY_LANG.items()
+    }
+    day = F.dayofmonth("ts").cast("string")
+    year = F.year("ts").cast("string")
+    hms = F.date_format("ts", "HH:mm:ss")
+    fuzzy = (
+        F.when(idx == 0, F.concat(name_for["en"], F.lit(" "), day, F.lit(", "),
+                                  year, F.lit(" at "), hms))
+        .when(idx == 1, F.concat(day, F.lit(" "), name_for["fr"], F.lit(" "),
+                                 year, F.lit(", "), hms))
+        .when(idx == 2, F.concat(day, F.lit(" de "), name_for["es"], F.lit(" de "),
+                                 year, F.lit(", "), hms))
+        .otherwise(F.concat(day, F.lit(" de "), name_for["pt"], F.lit(" de "),
+                            year, F.lit(", "), hms))
+    )
+    op = DateTimeExtraordinaire(base_tz="America/New_York")
+    return ev.select(
+        "event_id", F.date_format(op(fuzzy), "yyyy-MM-dd HH:mm:ss").alias("utc_ts")
+    )
+
+
+def q_take_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TakeAll/Identity passthrough (reference multi_values.py:60-102)."""
+    from scrapy_processors_spark import Join, TakeAll
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", Join("|")(TakeAll()(F.split("text", " "))).alias("all_words")
+    )
+
+
 def q_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scrapy_processors_spark import Emails
 
@@ -338,6 +394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_parser": q_price_parser,
         "to_float": q_to_float,
         "datetime": q_datetime,
+        "datetime_extraordinaire": q_datetime_extraordinaire,
+        "take_all": q_take_all,
         "date": q_date,
         "time": q_time,
         "emails": q_emails,
@@ -431,6 +489,16 @@ def oracle_sql() -> dict[str, str]:
                        CAST(date_trunc('second', ts) AS TIMESTAMP))),
                        '%Y-%m-%d %H:%M:%S') AS utc_ts
             FROM events
+        """,
+        "datetime_extraordinaire": """
+            SELECT event_id,
+                   strftime(timezone('UTC', timezone('America/New_York',
+                       CAST(date_trunc('second', ts) AS TIMESTAMP))),
+                       '%Y-%m-%d %H:%M:%S') AS utc_ts
+            FROM events
+        """,
+        "take_all": """
+            SELECT doc_id, replace(text, ' ', '|') AS all_words FROM documents
         """,
         "date": """
             SELECT event_id, CAST(ts AS DATE) AS d FROM events

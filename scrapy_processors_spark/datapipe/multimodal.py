@@ -50,7 +50,9 @@ def _fake_decode(buf: bytes) -> List[float]:
         return [0.0] * FEATURE_DIM
     a = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
     chunks = np.array_split(a, FEATURE_DIM)
-    return [round(float(c.mean()) if len(c) else 0.0, 6) for c in chunks]
+    # exact sum/len division (integer-valued doubles sum exactly, so the
+    # result is bit-identical to any engine computing SUM(byte)/COUNT)
+    return [float(c.sum()) / len(c) if len(c) else 0.0 for c in chunks]
 
 
 def decode_image(buf: bytes, fake: bool = False) -> List[float]:

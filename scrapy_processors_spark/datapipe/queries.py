@@ -63,8 +63,10 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN — recall < 1 by design, so this is a rows-only check
-    (no oracle); the brute-force variant above is the correctness baseline."""
+    """LSH-bucketed ANN.  The hyperplanes are deterministic md5 bytes, so the
+    bucket assignment is reproducible in DuckDB (the oracle inlines the plane
+    weights as literals and replays the same sequential double fold); recall
+    vs the brute-force baseline is measured by ``similarity.lsh_recall``."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return similarity.lsh_bucketed_topk(queries, emb, k=3)
@@ -96,10 +98,16 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary-column plumbing demo over synthetic media (rows-only check:
-    decode is a documented deterministic fake)."""
+    """Binary-column plumbing over synthetic media.  The deterministic fake
+    decode is byte-chunk means (exact sum/len doubles), so the features are
+    projected to scalar columns f0..f7 and hash-compared against a DuckDB
+    oracle that replays the same byte folds over ``encode(text)``."""
     docs = _t(spark, sf_dir, "documents")
-    return multimodal.extract_features(multimodal.media_from_documents(docs), fake=True)
+    feats = multimodal.extract_features(multimodal.media_from_documents(docs), fake=True)
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(multimodal.FEATURE_DIM)],
+    )
 
 
 DATAPIPE_QUERIES = {
@@ -199,6 +207,75 @@ def _quality_oracle() -> str:
     """
 
 
+def _multimodal_oracle() -> str:
+    """Replays ``multimodal._fake_decode`` byte-for-byte in DuckDB: utf-8
+    bytes recovered from hex(encode(text)); np.array_split chunking (first
+    L%8 chunks one byte longer); chunk mean = CAST(SUM AS DOUBLE)/COUNT is
+    the same IEEE division the numpy fake performs."""
+    fcols = ",\n               ".join(
+        f"coalesce(max(CASE WHEN c = {i} THEN m END), 0.0) AS f{i}" for i in range(8)
+    )
+    return f"""
+        WITH b AS (
+            SELECT doc_id AS media_id, upper(hex(encode(text))) AS h,
+                   coalesce(octet_length(encode(text)), 0) AS L
+            FROM documents
+        ), byt AS (
+            SELECT media_id, L, i,
+                   CAST((strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16
+                      + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1)) - 1) AS BIGINT) AS v,
+                   CASE WHEN i < (L % 8) * (L // 8 + 1) THEN i // (L // 8 + 1)
+                        ELSE (L % 8) + (i - (L % 8) * (L // 8 + 1)) // greatest(L // 8, 1)
+                   END AS c
+            FROM b, LATERAL (SELECT unnest(range(L)) AS i) ix
+            WHERE L > 0
+        ), agg AS (
+            SELECT media_id, c, CAST(sum(v) AS DOUBLE) / count(*) AS m
+            FROM byt GROUP BY media_id, c
+        )
+        SELECT b.media_id, 'image' AS kind, CAST(b.L AS BIGINT) AS n_bytes,
+               {fcols}
+        FROM b LEFT JOIN agg ON agg.media_id = b.media_id
+        GROUP BY b.media_id, b.L
+    """
+
+
+def _ann_lsh_oracle() -> str:
+    """Inlines the deterministic md5-derived hyperplane weights as double
+    literals and replays the Spark-side sequential fold (0.0 + t1 + t2 + ...
+    left-assoc — identical IEEE operation order, so the sign/bucket match
+    bitwise), then the same bucket-join + cosine + rank as ``ann_topk``."""
+    planes = [similarity._hyperplane(64, s) for s in range(4)]
+
+    def plane_dot(plane):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * ({w!r})" for i, w in enumerate(plane)
+        )
+        return f"(0.0 + {terms})"
+
+    bucket = " + ".join(
+        f"(CASE WHEN {plane_dot(pl)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    )
+    return f"""
+        WITH bkt AS (
+            SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   round(list_cosine_similarity(
+                       list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4) AS cos
+            FROM bkt q JOIN bkt c ON q.bucket = c.bucket
+            WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+        ), ranked AS (
+            SELECT query_id, cand_id, cos,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
+    """
+
+
 DATAPIPE_ORACLES = {
     "dedup_exact": """
         SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -235,6 +312,8 @@ DATAPIPE_ORACLES = {
         )
         SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
     """,
+    "ann_lsh": _ann_lsh_oracle(),
+    "multimodal_features": _multimodal_oracle(),
     "lang_id": _lang_id_oracle(),
     "token_count": f"""
         SELECT doc_id,

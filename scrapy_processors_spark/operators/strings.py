@@ -48,9 +48,8 @@ class UnicodeEscape(Op):
 
     def kernel(self, s: pd.Series) -> pd.Series:
         enc, enc_err, dec, dec_err = self.unpack_context()
-        return s.map(
-            lambda v: None if v is None else v.encode(enc, enc_err).decode(dec, dec_err)
-        )
+        # vectorized codec round-trip (NaN/None propagate as NaN -> null)
+        return s.str.encode(enc, errors=enc_err).str.decode(dec, errors=dec_err)
 
 
 class NormalizeWhitespace(Op):
