@@ -18,6 +18,7 @@ consecutive pandas-tier stages are fused into ONE Arrow-batched ``pandas_udf``
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Iterable, List, Optional, Sequence
 
 import pandas as pd
@@ -50,6 +51,11 @@ class Pipeline:
         self.default_context = dict(default_context)
 
     # ---- algebra (reference base.py:964-1073) ------------------------------
+    def _clone(self, processors, **context_overrides) -> "Pipeline":
+        """New instance with the same context; subclasses with extra pipeline
+        params (Compose) override so delegation preserves them."""
+        return type(self)(*processors, **{**self.default_context, **context_overrides})
+
     def __add__(self, processor) -> "Pipeline":
         processors = self.processors.copy()
         if isinstance(processor, Pipeline):
@@ -57,18 +63,47 @@ class Pipeline:
         else:
             ext = list(processor) if isinstance(processor, (list, tuple)) else [processor]
             processors.extend(ext)
-        return type(self)(*processors, **self.default_context)
+        return self._clone(processors)
 
     def extend(self, processors) -> "Pipeline":
         if isinstance(processors, Pipeline):
             merged = self._merge_default_context(processors)
             return type(self)(*self.processors, *processors.processors, **merged)
-        return type(self)(*self.processors, *processors, **self.default_context)
+        return self._clone([*self.processors, *processors])
 
     def replace(self, index: int, processor) -> "Pipeline":
         processors = self.processors.copy()
         processors[index] = processor
-        return type(self)(*processors, **self.default_context)
+        return self._clone(processors)
+
+    def __getattr__(self, name):
+        """List-method delegation (reference base.py:1039-1073): unknown
+        attributes resolve against the internal processors list; a mutating
+        list method (append/insert/pop/remove/clear/...) returns a NEW
+        pipeline built from the mutated copy, a non-mutating one (index/
+        count/copy/...) returns its own result."""
+        if name.startswith("__") and name.endswith("__"):
+            # keep pickle/copy/abc protocol probes off the delegation path
+            raise AttributeError(name)
+        try:
+            processors = object.__getattribute__(self, "processors")
+        except AttributeError:
+            raise AttributeError(name) from None
+        if not hasattr(processors, name):
+            raise AttributeError(f"'{self}' object has no attribute {name!r}")
+        attr = getattr(processors, name)
+        if callable(attr):
+
+            @functools.wraps(attr)
+            def wrapper(*args, **kwargs):
+                copied = processors.copy()
+                result = getattr(copied, name)(*args, **kwargs)
+                if copied == processors:  # non-mutating method
+                    return result
+                return self._clone(copied)  # mutating method -> new pipeline
+
+            return wrapper
+        return attr
 
     def _merge_default_context(self, other: "Pipeline") -> dict:
         merged = dict(self.default_context)
@@ -299,6 +334,14 @@ class Compose(Pipeline):
             **{**self.default_context, **overrides},
         )
         return clone
+
+    def _clone(self, processors, **context_overrides) -> "Compose":
+        return Compose(
+            *processors,
+            stop_on_none=self._stop_on_none,
+            default=self._default,
+            **{**self.default_context, **context_overrides},
+        )
 
     def __call__(self, col, output_type: Optional[T.DataType] = None, **overrides) -> Column:
         me = self.with_context(**overrides)

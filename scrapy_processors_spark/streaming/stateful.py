@@ -71,3 +71,27 @@ def dedup_urls_stream(urls: DataFrame, n_buckets: int = 64) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_urls_stream_to_parquet(urls: DataFrame, out_dir: str,
+                                 checkpoint_dir: str, n_buckets: int = 64):
+    """Run the stateful dedup with a RESTARTABLE sink.
+
+    The ``memory``/``console`` sinks refuse checkpoint recovery
+    ("This query does not support recovering from checkpoint location"), so
+    cross-run state restore requires a fault-tolerant sink: ``foreachBatch``
+    appending parquet is the production shape (idempotence per epoch is the
+    caller's concern; availableNow + clean termination gives exactly-once
+    here).  Returns the started StreamingQuery."""
+    deduped = dedup_urls_stream(urls, n_buckets)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        deduped.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -96,6 +96,48 @@ def test_pipeline_extend_context_conflict():
     assert len(merged) == 2
 
 
+def test_pipeline_list_method_delegation():
+    """__getattr__ list delegation (reference base.py:1039-1073 +
+    tests/test_base.py::test__getattr__): mutating list methods return a NEW
+    pipeline, non-mutating ones return their own result."""
+    base = MapCompose(str.strip, str.upper)
+
+    cleared = base.clear()
+    assert len(base) == 2 and len(cleared) == 0
+    assert isinstance(cleared, MapCompose)
+
+    appended = base.append(str.lower)
+    assert len(base) == 2 and len(appended) == 3
+    assert appended.run_python(" A ") == ["a"]
+
+    inserted = base.insert(0, str.title)
+    assert inserted.processors[0] is str.title and len(inserted) == 3
+
+    removed = appended.remove(str.lower)
+    assert removed == base
+
+    popped = base.pop()  # mutating -> new pipeline, pop's return discarded
+    assert isinstance(popped, MapCompose) and len(popped) == 1
+
+    reversed_p = base.reverse()
+    assert reversed_p.processors == [str.upper, str.strip]
+
+    # non-mutating methods pass through their result
+    assert base.index(str.upper) == 1
+    assert base.count(str.strip) == 1
+    assert base.copy() == [str.strip, str.upper]
+
+    with pytest.raises(AttributeError):
+        base.not_a_list_method()
+
+    # context (incl. Compose pipeline params) survives delegation
+    ctx = MapCompose(str.strip, k=1).append(str.upper)
+    assert ctx.default_context == {"k": 1}
+    comp = Compose(sum, stop_on_none=False, default=-1).append(str)
+    assert comp._stop_on_none is False and comp._default == -1
+    assert len(comp) == 2
+
+
 def test_pipeline_context_pushdown():
     # pipeline-level kwargs reach only ops that declare the key
     mc = MapCompose(StripQuotes(), NormalizeWhitespace(), lstrip_chars_ignore=".")
