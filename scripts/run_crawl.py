@@ -31,7 +31,7 @@ def main():
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--degree", type=int, default=6)
     ap.add_argument("--buckets", type=int, default=64)
-    ap.add_argument("--bloom", action="store_true")
+    ap.add_argument("--no-bloom", dest="bloom", action="store_false")  # bloom on by default
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--master", default=None)

@@ -51,6 +51,12 @@ PHONE_CASES = [
      ["+44 20 7031 3000"]),
     ("+1 650-253-0000, 816.360.3390", {"max_tries": 1},
      ["+16502530000", "+18163603390"]),
+    # FR/DE regions (scope widened one notch per round-1 review; national
+    # dialing drops the trunk 0, +CC parses without a region hint)
+    ("Appelez le 01 23 45 67 89 svp.", {"region": "FR"}, ["+33123456789"]),
+    ("Appelez le +33 1 23 45 67 89 svp.", {}, ["+33123456789"]),
+    ("Rufen Sie 030 901820 an.", {"region": "DE"}, ["+4930901820"]),
+    ("Rufen Sie +49 30 901820 an.", {}, ["+4930901820"]),
 ]
 
 

@@ -110,6 +110,11 @@ DTE_CASES = [
      datetime(2015, 8, 15, 18, 8, tzinfo=UTC)),
     ("22 de mayo de 2023, 12:30:45", {"languages": ["es"]},
      datetime(2023, 5, 22, 17, 30, 45, tzinfo=UTC)),
+    # de/it month-name dates (scope widened one notch per round-1 review)
+    ("Mittwoch, 3. März 2021, 14:30", {"languages": ["de"]},
+     datetime(2021, 3, 3, 20, 30, tzinfo=UTC)),
+    ("giovedì 4 dicembre 2014, 10:55:50", {"languages": ["it"]},
+     datetime(2014, 12, 4, 16, 55, 50, tzinfo=UTC)),
 ]
 
 

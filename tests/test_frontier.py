@@ -98,6 +98,70 @@ def test_robots_respected(spark):
     assert bad == 0
 
 
+def test_bloom_incremental_update_equals_rebuild(spark):
+    """OR-ing a delta into existing segments yields byte-identical bitmaps to
+    a from-scratch build over the union (insert order is irrelevant for OR),
+    so round N+1 can safely reuse round N's segments."""
+    a = spark.range(300).select(
+        (F.col("id") % 4).cast("int").alias("bucket"),
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    b = spark.range(300, 500).select(
+        (F.col("id") % 4).cast("int").alias("bucket"),
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    m = 1 << 14
+    incr = bloom.update_segments(bloom.build_segments(a, m_bits=m), b, m_bits=m)
+    full = bloom.build_segments(a.unionByName(b), m_bits=m)
+    got = {r["bucket"]: bytes(r["bitmap"]) for r in incr.collect()}
+    exp = {r["bucket"]: bytes(r["bitmap"]) for r in full.collect()}
+    assert got == exp
+
+    # a delta introducing a brand-new bucket creates its segment
+    c = spark.range(500, 520).select(
+        F.lit(7).cast("int").alias("bucket"),
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    incr2 = bloom.update_segments(incr, c, m_bits=m)
+    tagged = bloom.filter_unseen(c, incr2)
+    assert tagged.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_checkpoint_is_incremental_and_carries_lineage(spark, tmp_path):
+    """seen/fetch_log checkpoints are per-round deltas (bytes ~ O(new URLs),
+    not O(total seen)); the manifest carries per-bucket lineage counts and
+    the persisted Bloom segments round-trip."""
+    import json
+    import os
+
+    from scrapy_processors_spark.frontier import checkpoint as ckpt
+
+    root = str(tmp_path / "ckpt")
+    cfg = CrawlConfig(**{**CFG, "max_rounds": 3}, checkpoint_root=root)
+    state = run_crawl(spark, cfg)
+
+    # each checkpoint's seen delta covers only that round's new URLs; the
+    # deltas partition the full seen set (disjoint + complete)
+    total_seen = state["seen"].count()
+    delta_counts = {}
+    for rnd in (1, 2, 3):
+        d = spark.read.parquet(os.path.join(root, "seen_log", f"ckpt={rnd:04d}"))
+        delta_counts[rnd] = d.count()
+        with open(os.path.join(root, f"round={rnd:04d}", "manifest.json")) as f:
+            manifest = json.load(f)
+        lin = manifest["lineage"]
+        assert lin["seen_delta_rows"] == delta_counts[rnd]
+        assert sum(lin["seen_delta_rows_by_bucket"].values()) == delta_counts[rnd]
+        assert manifest["metrics"]["fetched"] >= 0
+    assert sum(delta_counts.values()) == total_seen
+    assert delta_counts[2] < total_seen  # genuinely incremental
+    assert manifest["parent_round"] == 2
+
+    # bloom segments persisted + restored
+    loaded = ckpt.read_checkpoint(spark, root, 3)
+    assert loaded["bloom"] is not None
+    restored = {r["bucket"]: bytes(r["bitmap"]) for r in loaded["bloom"].collect()}
+    live = {r["bucket"]: bytes(r["bitmap"]) for r in state["bloom"].collect()}
+    assert restored == live
+
+
 def test_bloom_no_false_negatives(spark):
     df = spark.range(500).select(
         (F.col("id") % 4).cast("int").alias("bucket"),
