@@ -240,32 +240,42 @@ def _multimodal_oracle() -> str:
     """
 
 
-def _ann_lsh_oracle() -> str:
+def _ann_lsh_oracle(dim: int = 64, n_planes: int = 5, n_tables: int = 16) -> str:
     """Inlines the deterministic md5-derived hyperplane weights as double
-    literals and replays the Spark-side sequential fold (0.0 + t1 + t2 + ...
-    left-assoc — identical IEEE operation order, so the sign/bucket match
-    bitwise), then the same bucket-join + cosine + rank as ``ann_topk``."""
-    planes = [similarity._hyperplane(64, s) for s in range(4)]
+    list literals and replays the Spark-side sequential fold
+    (list_reduce(list_prepend(0.0, ...)) — identical IEEE operation order,
+    so the sign/bucket match bitwise) for every table, then the multi-table
+    union (OR over per-table bucket equality), pair-dedup, and the same
+    cosine + rank as ``ann_topk``."""
+    tables = similarity.lsh_tables(dim, n_planes, n_tables)
 
     def plane_dot(plane):
-        terms = " + ".join(
-            f"CAST(embedding[{i + 1}] AS DOUBLE) * ({w!r})" for i, w in enumerate(plane)
+        lit = "[" + ", ".join(repr(w) for w in plane) + "]"
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range({dim}), i -> "
+            f"CAST(embedding[i + 1] AS DOUBLE) * ({lit})[i + 1])), (a, b) -> a + b)"
         )
-        return f"(0.0 + {terms})"
 
-    bucket = " + ".join(
-        f"(CASE WHEN {plane_dot(pl)} > 0 THEN {1 << p} ELSE 0 END)"
-        for p, pl in enumerate(planes)
-    )
+    buckets = []
+    for t, planes in enumerate(tables):
+        b = " + ".join(
+            f"(CASE WHEN {plane_dot(pl)} > 0 THEN {1 << p} ELSE 0 END)"
+            for p, pl in enumerate(planes)
+        )
+        buckets.append(f"{b} AS b{t}")
+    bucket_cols = ",\n                   ".join(buckets)
+    any_match = " OR ".join(f"q.b{t} = c.b{t}" for t in range(n_tables))
     return f"""
         WITH bkt AS (
-            SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+            SELECT vec_id, embedding,
+                   {bucket_cols}
+            FROM embeddings
         ), scored AS (
-            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id,
                    round(list_cosine_similarity(
                        list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
                        list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4) AS cos
-            FROM bkt q JOIN bkt c ON q.bucket = c.bucket
+            FROM bkt q JOIN bkt c ON ({any_match})
             WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
         ), ranked AS (
             SELECT query_id, cand_id, cos,

