@@ -216,11 +216,14 @@ class Demojize(Op):
     output_type = T.StringType()
 
     def _repl(self):
-        delims, _lang = self.unpack_context()
+        delims, lang = self.unpack_context()
         left, right = delims
+        table = emoji_data.table_for(lang)
 
         def repl(m: "re.Match[str]") -> str:
-            return left + emoji_data.EMOJI_TO_NAME[m.group(0)] + right
+            name = table.get(m.group(0))
+            # emoji detected but absent from a non-en subset table stay intact
+            return m.group(0) if name is None else left + name + right
 
         return repl
 

@@ -221,6 +221,26 @@ def test_demojize_spark(spark):
         c[1] for c in DEMOJIZE_CASES]
 
 
+DEMOJIZE_ES_CASES = [
+    ("Python mola \U0001F44D", "Python mola :pulgar_hacia_arriba:"),
+    ("Hola \U0001F60A", "Hola :cara_feliz_con_ojos_sonrientes:"),
+    ("Te quiero ❤️", "Te quiero :corazón_rojo:"),
+    # emoji known to the detector but outside the es subset stays intact
+    ("mundo \U0001F30D", "mundo \U0001F30D"),
+]
+
+
+@pytest.mark.parametrize("inp,exp", DEMOJIZE_ES_CASES)
+def test_demojize_es_py(inp, exp):
+    assert Demojize(language="es").process_value(inp) == exp
+
+
+def test_demojize_es_spark(spark):
+    op = Demojize(language="es")
+    assert run_scalar(spark, op, [c[0] for c in DEMOJIZE_ES_CASES]) == [
+        c[1] for c in DEMOJIZE_ES_CASES]
+
+
 # ----------------------------------------------------------------- RemoveEmojis
 REMOVE_EMOJI_CASES = [
     ("Python is fun \U0001F44D", "Python is fun "),
