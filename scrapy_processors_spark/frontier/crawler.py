@@ -163,9 +163,12 @@ def crawl_round(spark: SparkSession, state: dict, robots: DataFrame,
     # The ranked frame feeds batch, carryover, fetched AND the link expansion
     # — materialize it ONCE (downstream state frames would otherwise each
     # re-execute the ranking shuffles; measured 3-4x round cost).
-    ranked = _rank_frontier(_robots_allowed(frontier, robots), host_state, cfg)
-    if not (cfg.checkpoint_root and rnd % cfg.checkpoint_every == 0):
-        ranked = ranked.localCheckpoint(eager=True)
+    # Materialize ONCE: batch, carryover, fetched and the link expansion all
+    # read `ranked`; in checkpoint rounds the durable writes of frontier/
+    # seen_delta/fetch_delta would otherwise each re-execute the ranking
+    # shuffles (measured 3-4x round cost).
+    ranked = _rank_frontier(_robots_allowed(frontier, robots), host_state, cfg) \
+        .localCheckpoint(eager=True)
     batch = ranked.where(F.col("rank") <= F.col("k"))
     carryover = ranked.where(F.col("rank").isNull() | (F.col("rank") > F.col("k"))) \
         .select("url", "url_hash", "host", "bucket", "depth", "priority")
@@ -211,9 +214,9 @@ def crawl_round(spark: SparkSession, state: dict, robots: DataFrame,
             _priority(F.col("depth"), F.coalesce("n_seen", F.lit(0))).alias("priority"),
         )
     )
-    if not (cfg.checkpoint_root and rnd % cfg.checkpoint_every == 0):
-        # shared by frontier_next, seen_next and the host_state aggregates
-        new_frontier_rows = new_frontier_rows.localCheckpoint(eager=True)
+    # shared by frontier_next, seen_next, the host_state aggregates, the
+    # bloom update, and (in checkpoint rounds) the delta writes + counts
+    new_frontier_rows = new_frontier_rows.localCheckpoint(eager=True)
 
     # 5. state update (carryover already excludes fetched + robots-blocked)
     frontier_next = carryover.unionByName(new_frontier_rows)
