@@ -12,8 +12,12 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from scrapy_processors_spark.datapipe.dedup import cosine_similarity
 
@@ -97,6 +101,38 @@ def lsh_tables(dim: int, n_planes: int, n_tables: int) -> list:
     ]
 
 
+def lsh_buckets_udf(tables: list, dim: int):
+    """All per-table bucket ids in ONE Arrow-batched pandas UDF.
+
+    The pure-Column alternative (n_tables * n_planes ``F.aggregate`` folds of
+    ``dim`` literal terms each) builds a ~20k-node expression tree that blows
+    past JVM codegen method limits and falls back to interpreted eval
+    (measured 87 s for 5k vectors at 16x5x64).  Here the dots are one numpy
+    pass; the inner loop accumulates PER DIMENSION (acc += v[:,i] * w[p,i]),
+    which preserves the sequential left-fold IEEE order of the DuckDB
+    oracle's ``list_reduce`` exactly — np.dot/BLAS would reorder the sum and
+    could flip the sign of a near-zero projection."""
+    weights = np.array(
+        [[plane for plane in tbl] for tbl in tables], dtype=np.float64
+    )  # (n_tables, n_planes, dim)
+    n_tables, n_planes, _ = weights.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        v = np.array(vecs.to_list(), dtype=np.float64)  # (n, dim)
+        n = v.shape[0]
+        out = np.zeros((n, n_tables), dtype=np.int32)
+        for t in range(n_tables):
+            for p in range(n_planes):
+                acc = np.zeros(n, dtype=np.float64)
+                for i in range(weights.shape[2]):
+                    acc = acc + v[:, i] * weights[t, p, i]
+                out[:, t] |= np.where(acc > 0, 1 << p, 0).astype(np.int32)
+        return pd.Series(list(out))
+
+    return buckets
+
+
 def lsh_bucketed_topk(queries: DataFrame, candidates: DataFrame, k: int = 3,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       dim: int = 64, n_planes: int = 5, n_tables: int = 16,
@@ -118,14 +154,12 @@ def lsh_bucketed_topk(queries: DataFrame, candidates: DataFrame, k: int = 3,
     brute-force variant is the correctness baseline and
     ``lsh_recall`` reports recall@k."""
     tables = lsh_tables(dim, n_planes, n_tables)
+    buckets_udf = lsh_buckets_udf(tables, dim)
 
     def with_buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        bucket_arr = F.array(*[
-            lsh_bucket(F.col(vc), planes) for planes in tables
-        ])
         return df.select(
             F.col(idc), F.col(vc),
-            F.posexplode(bucket_arr).alias("table_id", "bucket"),
+            F.posexplode(buckets_udf(F.col(vc))).alias("table_id", "bucket"),
         )
 
     q = with_buckets(
