@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scrapy_processors_spark.frontier import bloom as bloom_mod
+from scrapy_processors_spark.frontier import cuckoo as cuckoo_mod
 from scrapy_processors_spark.frontier import checkpoint as ckpt
 from scrapy_processors_spark.frontier import graph
 from scrapy_processors_spark.frontier.canonicalize import canonicalize_url, url_host, url_path
@@ -55,12 +56,18 @@ class CrawlConfig:
     max_rounds: int = 5
     n_buckets: int = 64          # host-hash buckets for seen/bloom partitioning
     n_salts: int = 16            # salt fan-out for hot-host top-k
-    # Bloom fast path ON by default (production shape): segments are built
-    # once from the seeds and maintained INCREMENTALLY (only the round's new
-    # hashes are OR-ed in), so per-round Bloom cost is O(new URLs); the exact
-    # anti-join backstop runs only on the maybe-seen residue.
+    # Probabilistic URL-seen fast path ON by default (production shape):
+    # segments are built once from the seeds and maintained INCREMENTALLY
+    # (only the round's new hashes are added), so per-round filter cost is
+    # O(new URLs); the exact anti-join backstop runs only on the maybe-seen
+    # residue.  ``filter_kind`` picks the structure (north_star names both):
+    # "bloom"  — k-bit bitmap per bucket (bloom.py)
+    # "cuckoo" — 4x16-bit-slot cuckoo table per bucket (cuckoo.py); same
+    #            contract plus deletion support for recrawl/expiry
     use_bloom: bool = True
+    filter_kind: str = "bloom"
     bloom_m_bits: int = 1 << 20
+    cuckoo_m_buckets: int = 1 << 16
     checkpoint_root: Optional[str] = None
     checkpoint_every: int = 1
     # Broadcast host_state/robots onto the frontier (no shuffle).  Valid while
@@ -68,6 +75,25 @@ class CrawlConfig:
     # off and these become bucketed shuffle joins.
     broadcast_host_tables: bool = True
     metrics: list = field(default_factory=list)
+
+
+def _filter_build(seen_sel: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    if cfg.filter_kind == "cuckoo":
+        return cuckoo_mod.build_segments(seen_sel, cfg.cuckoo_m_buckets)
+    return bloom_mod.build_segments(seen_sel, cfg.bloom_m_bits)
+
+
+def _filter_update(segments: DataFrame, new_rows: DataFrame,
+                   cfg: CrawlConfig) -> DataFrame:
+    if cfg.filter_kind == "cuckoo":
+        return cuckoo_mod.update_segments(segments, new_rows, cfg.cuckoo_m_buckets)
+    return bloom_mod.update_segments(segments, new_rows, cfg.bloom_m_bits)
+
+
+def _filter_probe(candidates: DataFrame, segments: DataFrame,
+                  cfg: CrawlConfig) -> DataFrame:
+    mod = cuckoo_mod if cfg.filter_kind == "cuckoo" else bloom_mod
+    return mod.filter_unseen(candidates, segments)
 
 
 def _with_identity(df: DataFrame, url_col: str, cfg: CrawlConfig) -> DataFrame:
@@ -102,8 +128,8 @@ def init_state(spark: SparkSession, seeds: DataFrame, cfg: CrawlConfig) -> dict:
     fetch_log = spark.createDataFrame([], ckpt.FETCH_LOG_SCHEMA)
     bloom = None
     if cfg.use_bloom:
-        bloom = bloom_mod.build_segments(
-            seen.select("bucket", "url_hash"), cfg.bloom_m_bits
+        bloom = _filter_build(
+            seen.select("bucket", "url_hash"), cfg
         ).localCheckpoint(eager=True)
     return {"frontier": frontier, "seen": seen, "host_state": host_state,
             "fetch_log": fetch_log, "bloom": bloom,
@@ -194,7 +220,7 @@ def crawl_round(spark: SparkSession, state: dict, robots: DataFrame,
     #    seeds, OR-updated with each round's new hashes below) — never
     #    rebuilt from the full seen table.
     if cfg.use_bloom and state.get("bloom") is not None:
-        tagged = bloom_mod.filter_unseen(links, state["bloom"])
+        tagged = _filter_probe(links, state["bloom"], cfg)
         definitely_new = tagged.where(~F.col("maybe_seen")).drop("maybe_seen")
         residue = tagged.where(F.col("maybe_seen")).drop("maybe_seen")
         new_urls = definitely_new.unionByName(
@@ -248,8 +274,8 @@ def crawl_round(spark: SparkSession, state: dict, robots: DataFrame,
     # localCheckpoint each round keeps their lineage flat
     bloom_next = state.get("bloom")
     if cfg.use_bloom and bloom_next is not None:
-        bloom_next = bloom_mod.update_segments(
-            bloom_next, new_seen_rows, cfg.bloom_m_bits
+        bloom_next = _filter_update(
+            bloom_next, new_seen_rows, cfg
         ).localCheckpoint(eager=True)
 
     new_state = {"frontier": frontier_next, "seen": seen_next,
@@ -311,9 +337,9 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig,
             loaded = ckpt.read_checkpoint(spark, cfg.checkpoint_root, last)
             state = _state_from_checkpoint(spark, loaded, last)
             if cfg.use_bloom and state["bloom"] is None:
-                # older/non-bloom checkpoint: one-time rebuild from seen
-                state["bloom"] = bloom_mod.build_segments(
-                    state["seen"].select("bucket", "url_hash"), cfg.bloom_m_bits
+                # older/filter-less checkpoint: one-time rebuild from seen
+                state["bloom"] = _filter_build(
+                    state["seen"].select("bucket", "url_hash"), cfg
                 ).localCheckpoint(eager=True)
         else:
             state = init_state(spark, seeds if seeds is not None

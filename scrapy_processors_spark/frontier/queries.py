@@ -62,6 +62,31 @@ def q_url_seen_antijoin(spark, sf_dir):
     )
 
 
+def q_url_seen_cuckoo(spark, sf_dir):
+    """Cuckoo fast path + exact backstop over the same candidate/seen split
+    as ``url_seen_antijoin``: the combined result must equal the plain
+    anti-join exactly (false positives only route rows through the backstop,
+    never change the answer) — so the anti-join SQL is a hard oracle for the
+    cuckoo probe."""
+    from scrapy_processors_spark.frontier import cuckoo
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://host"), (F.col("doc_id") % 97).cast("string"),
+                 F.lit(".example.com/p/"), (F.col("doc_id") % 1000).cast("string"),
+                 ).alias("url"),
+    ).withColumn("url_hash", F.xxhash64("url")) \
+     .withColumn("bucket", F.pmod(F.hash(url_host(F.col("url"))), F.lit(8)).cast("int"))
+    seen = urls.where(F.col("doc_id") % 3 == 0)
+    segs = cuckoo.build_segments(seen.select("bucket", "url_hash"), m_buckets=1 << 10)
+    tagged = cuckoo.filter_unseen(urls, segs)
+    definitely_new = tagged.where(~F.col("maybe_seen"))
+    residue = tagged.where(F.col("maybe_seen")).join(
+        seen.select("url_hash"), on="url_hash", how="left_anti")
+    return definitely_new.unionByName(residue).select("doc_id", "url")
+
+
 def q_frontier_priority(spark, sf_dir):
     """Fetch-batch selection shape: priority ranking + top-k per host window."""
     docs = _t(spark, sf_dir, "documents")
@@ -94,6 +119,7 @@ def q_crawl_bfs(spark, sf_dir):
 FRONTIER_QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_seen_antijoin": q_url_seen_antijoin,
+    "url_seen_cuckoo": q_url_seen_cuckoo,
     "frontier_priority": q_frontier_priority,
     "crawl_bfs": q_crawl_bfs,
 }
@@ -107,6 +133,18 @@ FRONTIER_ORACLES = {
     # (anti-join on exact url identity — equivalent since xxhash64 is
     # injective on this candidate set, and both sides key on the same urls)
     "url_seen_antijoin": """
+        WITH urls AS (
+            SELECT doc_id,
+                   'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example.com/p/'
+                   || CAST(doc_id % 1000 AS VARCHAR) AS url
+            FROM documents
+        )
+        SELECT u.doc_id, u.url FROM urls u
+        WHERE u.url NOT IN (SELECT url FROM urls WHERE doc_id % 3 = 0)
+    """,
+# the cuckoo fast path + backstop must reproduce the anti-join EXACTLY;
+# same oracle as url_seen_antijoin by construction
+    "url_seen_cuckoo": """
         WITH urls AS (
             SELECT doc_id,
                    'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example.com/p/'
