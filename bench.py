@@ -172,7 +172,7 @@ def crawl_run_subprocess(cores: int) -> dict:
     the only real isolation."""
     import subprocess
 
-    timeout_s = float(os.environ.get("SPARK_GRAFT_BENCH_RUN_TIMEOUT_S", "900"))
+    timeout_s = float(os.environ.get("SPARK_GRAFT_BENCH_RUN_TIMEOUT_S", "600"))
     r = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--crawl-run", str(cores)],
         capture_output=True, text=True, timeout=timeout_s,
@@ -203,19 +203,22 @@ def main():
 
     calib = cpu_calibration(lo_cores, hi_cores)
 
-    spark = make_spark(min(cpus, 16))
-    timings = run_queries(spark, sf_dir)
-    # ann recall@k of the LSH scale path vs the brute-force baseline
-    try:
-        from pyspark.sql import functions as F
+    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_QUERIES") == "1":
+        timings, ann_recall = {}, None  # pair-loop iteration mode
+    else:
+        spark = make_spark(min(cpus, 16))
+        timings = run_queries(spark, sf_dir)
+        # ann recall@k of the LSH scale path vs the brute-force baseline
+        try:
+            from pyspark.sql import functions as F
 
-        from scrapy_processors_spark.datapipe import similarity
+            from scrapy_processors_spark.datapipe import similarity
 
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        ann_recall = similarity.lsh_recall(emb.where(F.col("vec_id") < 20), emb, k=5)
-    except Exception:
-        ann_recall = None
-    spark.stop()
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            ann_recall = similarity.lsh_recall(emb.where(F.col("vec_id") < 20), emb, k=5)
+        except Exception:
+            ann_recall = None
+        spark.stop()
 
     # The sandbox's delivered CPU fluctuates by 3-10x on a minutes timescale,
     # so a lone A/B comparison measures the hypervisor, not the job.  ERA
@@ -228,15 +231,26 @@ def main():
     target = float(os.environ.get("SPARK_GRAFT_BENCH_TARGET", "0.8"))
     gate = float(os.environ.get("SPARK_GRAFT_BENCH_GATE", "0.75"))
     max_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "6"))
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1800"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2700"))
     quick_iters = 6_000_000
 
     pairs = []
+    skipped_eras = 0
     pairs_t0 = time.time()
     rep = 0
     while len(pairs) < max_pairs and time.time() - pairs_t0 < budget_s:
-        rep += 1
         c0 = cpu_calibration(lo_cores, hi_cores, n_iters=quick_iters)
+        # PRE-GATE: don't launch a pair into a starved era — a doomed run
+        # burns 10-20 min of budget to learn what a 10 s probe already shows.
+        # Require the era ceiling AND that the high level actually receives
+        # most of its cores (ceiling alone passes when BOTH levels starve
+        # proportionally, but the absolute throughput would still be junk).
+        if (c0["hw_ceiling"] < gate
+                or c0[f"effective_cores_{hi_cores}"] < 0.65 * hi_cores):
+            skipped_eras += 1
+            time.sleep(45)
+            continue
+        rep += 1
         order = (hi_cores, lo_cores) if rep % 2 == 0 else (lo_cores, hi_cores)
         runs = {}
         try:
@@ -281,6 +295,7 @@ def main():
             "low": crawl_lo,
             "high": crawl_hi,
             "pairs": pairs,
+            "skipped_starved_eras": skipped_eras,
             "gated_pair_count": len(gated),
             "per_rep_efficiency": [p["efficiency"] for p in pairs],
             "speedup": round(efficiency * (hi_cores / lo_cores), 3),

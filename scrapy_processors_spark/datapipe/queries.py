@@ -97,6 +97,30 @@ def q_fingerprint(spark, sf_dir):
     return docs.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style repetition filter signals + keep/drop verdict."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = textstats.repetition_signals(F.col("text"))
+    return docs.select(
+        "doc_id",
+        sig["dup_word_frac"].alias("dup_word_frac"),
+        sig["top_2gram_frac"].alias("top_2gram_frac"),
+        textstats.gopher_pass(F.col("text")).alias("keep"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Email + phone redaction over a deterministically PII-salted text (the
+    raw documents contain no PII, so salt some in from doc_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555 010"), (F.col("doc_id") % 10000).cast("string"),
+    )
+    return docs.select("doc_id", textstats.pii_scrub(salted).alias("scrubbed"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column plumbing over synthetic media.  The deterministic fake
     decode is byte-chunk means (exact sum/len doubles), so the features are
@@ -123,6 +147,8 @@ DATAPIPE_QUERIES = {
     "quality_score": q_quality_score,
     "fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
+    "gopher_quality": q_gopher_quality,
+    "pii_scrub": q_pii_scrub,
 }
 
 
@@ -286,6 +312,41 @@ def _ann_lsh_oracle(dim: int = 64, n_planes: int = 5, n_tables: int = 16) -> str
     """
 
 
+def _gopher_oracle() -> str:
+    return """
+        WITH w AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+            FROM documents
+        ), g AS (
+            SELECT doc_id, words, len(words) AS n,
+                   list_transform(range(1, greatest(len(words), 1)),
+                                  i -> words[i] || ' ' || words[i + 1]) AS grams
+            FROM w
+        ), s AS (
+            SELECT doc_id,
+                   round((n - len(list_distinct(words))) / greatest(n, 1), 4) AS dup_word_frac,
+                   round((CASE WHEN n <= 1 THEN 0
+                          ELSE list_max(list_transform(list_distinct(grams),
+                                   x -> len(list_filter(grams, y -> y = x)))) END)
+                         / greatest(len(grams), 1), 4) AS top_2gram_frac
+            FROM g
+        )
+        SELECT doc_id, dup_word_frac, top_2gram_frac,
+               (dup_word_frac <= 0.3 AND top_2gram_frac <= 0.18) AS keep
+        FROM s
+    """
+
+
+def _pii_oracle() -> str:
+    salted = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+              "'@example.com or +1 555 010' || CAST(doc_id % 10000 AS VARCHAR)")
+    email = textstats.EMAIL_PATTERN
+    phone = textstats.PHONE_PATTERN
+    return ("SELECT doc_id, regexp_replace(regexp_replace(" + salted + ", '"
+            + email + "', '<EMAIL>', 'g'), '" + phone
+            + "', '<PHONE>', 'g') AS scrubbed FROM documents")
+
+
 DATAPIPE_ORACLES = {
     "dedup_exact": """
         SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -332,6 +393,8 @@ DATAPIPE_ORACLES = {
         FROM documents
     """,
     "quality_score": _quality_oracle(),
+    "gopher_quality": _gopher_oracle(),
+    "pii_scrub": _pii_oracle(),
     "fingerprint": f"""
         SELECT doc_id,
                list_reduce(

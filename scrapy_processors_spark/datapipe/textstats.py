@@ -69,6 +69,55 @@ def quality_score(text: Column) -> Column:
                    + 0.2 * wlen_ok, 4)
 
 
+def repetition_signals(text: Column) -> dict:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    Models" §A1.1 quality heuristics — public paper): duplicate-word
+    fraction and most-frequent-2-gram occurrence fraction.  Pure expressions
+    (codegen, zero shuffle).  The top-2-gram scan is O(n_distinct * n) per
+    row — linear-ish for natural text where n-gram diversity is high;
+    boilerplate-heavy rows (the ones the filter exists to catch) have FEW
+    distinct grams, so the scan stays cheap exactly when rows are worst.
+
+    Returns a dict of named Columns so callers pick what they project.
+    """
+    words = F.split(F.trim(text), r"\s+")
+    n = F.size(words)
+    dup_word_frac = F.round(
+        (n - F.size(F.array_distinct(words))) / F.greatest(n, F.lit(1)), 4)
+    grams = F.filter(
+        F.transform(words, lambda w, i: F.concat_ws(" ", w, F.get(words, i + 1))),
+        lambda g, i: i < n - 1,
+    )
+    top_gram_count = F.when(n <= 1, F.lit(0)).otherwise(F.array_max(
+        F.transform(F.array_distinct(grams),
+                    lambda g: F.size(F.filter(grams, lambda x: x == g)))))
+    top_2gram_frac = F.round(
+        top_gram_count / F.greatest(F.size(grams), F.lit(1)), 4)
+    return {"dup_word_frac": dup_word_frac, "top_2gram_frac": top_2gram_frac}
+
+
+def gopher_pass(text: Column, max_dup_word_frac: float = 0.3,
+                max_top_2gram_frac: float = 0.18) -> Column:
+    """Boolean keep/drop verdict from the repetition signals with the
+    published Gopher-style thresholds as defaults."""
+    sig = repetition_signals(text)
+    return ((sig["dup_word_frac"] <= max_dup_word_frac)
+            & (sig["top_2gram_frac"] <= max_top_2gram_frac))
+
+
+# PII patterns restricted to the regex subset Java (Spark) and RE2 (DuckDB)
+# interpret identically, so the scrub is oracle-checkable cross-engine.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9() .\-]{6,16}[0-9]"
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact emails then phone-like digit runs (training-data hygiene pass;
+    emails first so phone redaction cannot eat an address's digits)."""
+    no_email = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_PATTERN, "<PHONE>")
+
+
 def fingerprint(text: Column) -> Column:
     """Rolling polynomial hash over characters mod 1e9+7 (order-sensitive
     document fingerprint; bigint-safe: acc*31+c < 2^63)."""

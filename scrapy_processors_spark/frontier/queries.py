@@ -105,6 +105,28 @@ def q_frontier_priority(spark, sf_dir):
     )
 
 
+def q_url_latest_snapshot(spark, sf_dir):
+    """Recrawl dedup over the input_hint shape (url, warc_ts): keep the
+    newest snapshot per url (standard step before extraction when the same
+    url is fetched in multiple WARC epochs).  Window rank per url; total
+    order (warc_ts DESC, doc_id DESC) so the pick is deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://host"), (F.col("doc_id") % 40).cast("string"),
+                 F.lit(".example.com/p/"), (F.col("doc_id") % 200).cast("string")
+                 ).alias("url"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),
+    )
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"), F.desc("doc_id"))
+    return (
+        pages.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        .select("url", "doc_id",
+                F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"))
+    )
+
+
 def q_crawl_bfs(spark, sf_dir):
     """Three BFS rounds of the deterministic synthetic crawl (rows-only
     check: the crawl is not SQL-expressible; cross-run/parallelism equality
@@ -120,6 +142,7 @@ FRONTIER_QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_seen_antijoin": q_url_seen_antijoin,
     "url_seen_cuckoo": q_url_seen_cuckoo,
+    "url_latest_snapshot": q_url_latest_snapshot,
     "frontier_priority": q_frontier_priority,
     "crawl_bfs": q_crawl_bfs,
 }
@@ -153,6 +176,22 @@ FRONTIER_ORACLES = {
         )
         SELECT u.doc_id, u.url FROM urls u
         WHERE u.url NOT IN (SELECT url FROM urls WHERE doc_id % 3 = 0)
+    """,
+    "url_latest_snapshot": """
+        WITH p AS (
+            SELECT doc_id,
+                   'https://host' || CAST(doc_id % 40 AS VARCHAR)
+                   || '.example.com/p/' || CAST(doc_id % 200 AS VARCHAR) AS url,
+                   TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id) AS warc_ts
+            FROM documents
+        ), r AS (
+            SELECT url, doc_id, warc_ts,
+                   row_number() OVER (PARTITION BY url
+                                      ORDER BY warc_ts DESC, doc_id DESC) AS rn
+            FROM p
+        )
+        SELECT url, doc_id, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ts
+        FROM r WHERE rn = 1
     """,
     "frontier_priority": """
         WITH fr AS (

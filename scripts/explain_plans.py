@@ -107,6 +107,22 @@ def main():
         ("scan reads only doc_id,text", lambda p: "struct<doc_id:bigint,text:string>" in p),
     ])
 
+    # 9. gopher_quality: expression-only repetition signals — map-only
+    gq = qs["gopher_quality"](spark, sf_dir)
+    add("gopher_quality (expression-only repetition filter)", gq, [
+        ("no Python eval nodes", lambda p: "Python" not in p),
+        ("no shuffle Exchange", lambda p: "Exchange" not in p),
+        ("scan reads only doc_id,text", lambda p: "struct<doc_id:bigint,text:string>" in p),
+    ])
+
+    # 10. pii_scrub: regexp-only scrub — codegen over a pruned scan
+    pii = qs["pii_scrub"](spark, sf_dir)
+    add("pii_scrub (codegen regex scrub)", pii, [
+        ("no Python eval nodes", lambda p: "Python" not in p),
+        ("whole-stage codegen spans present", lambda p: "codegen id" in p),
+        ("no shuffle Exchange", lambda p: "Exchange" not in p),
+    ])
+
     n_fail = sum(1 for _, _, ok in checks if not ok)
     header = (
         "# PLANS — physical-plan audit (generated by scripts/explain_plans.py)\n\n"

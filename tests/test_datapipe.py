@@ -110,3 +110,42 @@ def test_multimodal_plumbing(docs):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"xx", fake=False)
+
+
+def test_repetition_signals(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),   # mild repetition
+        (1, "spam spam spam spam spam spam spam spam"),       # degenerate
+        (2, "one two three four five six seven eight"),       # no repetition
+        (3, "a"),                                             # single word
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = textstats.repetition_signals(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", sig["dup_word_frac"].alias("dw"),
+        sig["top_2gram_frac"].alias("tg"),
+        textstats.gopher_pass(F.col("text")).alias("keep")).collect()}
+    # doc 1: 8 words, 1 distinct -> dup 7/8; 7 grams all "spam spam" -> 1.0
+    assert out[1]["dw"] == 0.875 and out[1]["tg"] == 1.0 and not out[1]["keep"]
+    # doc 2: all distinct -> 0.0 / each gram unique -> 1/7
+    assert out[2]["dw"] == 0.0 and out[2]["tg"] == round(1 / 7, 4) and out[2]["keep"]
+    # doc 0: "the" twice -> 1/9 dup; all grams distinct -> 1/8
+    assert out[0]["dw"] == round(1 / 9, 4) and out[0]["tg"] == 0.125
+    # doc 3: single word -> both zero, keep
+    assert out[3]["dw"] == 0.0 and out[3]["tg"] == 0.0 and out[3]["keep"]
+
+
+def test_pii_scrub(spark):
+    rows = [
+        (0, "write to jane.doe+x@mail.example.org today"),
+        (1, "call +1 (555) 010-7788 or 020 7946 0991 now"),
+        (2, "no pii here at all"),
+        (3, "mixed: bob@ex.co and +44 20 7946 0958."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", textstats.pii_scrub(F.col("text")).alias("s")).collect()}
+    assert out[0] == "write to <EMAIL> today"
+    assert out[1] == "call <PHONE> or <PHONE> now"
+    assert out[2] == "no pii here at all"
+    assert out[3] == "mixed: <EMAIL> and <PHONE>."
