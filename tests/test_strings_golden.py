@@ -241,6 +241,26 @@ def test_demojize_es_spark(spark):
         c[1] for c in DEMOJIZE_ES_CASES]
 
 
+DEMOJIZE_FR_CASES = [
+    ("Python \U0001F44D", "Python :pouce_levé:"),
+    ("Salut \U0001F642", "Salut :visage_avec_un_léger_sourire:"),
+    ("Je t'aime ❤️", "Je t'aime :cœur_rouge:"),
+    # emoji known to the detector but outside the fr subset stays intact
+    ("monde \U0001F30D", "monde \U0001F30D"),
+]
+
+
+@pytest.mark.parametrize("inp,exp", DEMOJIZE_FR_CASES)
+def test_demojize_fr_py(inp, exp):
+    assert Demojize(language="fr").process_value(inp) == exp
+
+
+def test_demojize_fr_spark(spark):
+    op = Demojize(language="fr")
+    assert run_scalar(spark, op, [c[0] for c in DEMOJIZE_FR_CASES]) == [
+        c[1] for c in DEMOJIZE_FR_CASES]
+
+
 # ----------------------------------------------------------------- RemoveEmojis
 REMOVE_EMOJI_CASES = [
     ("Python is fun \U0001F44D", "Python is fun "),
