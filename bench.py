@@ -30,16 +30,18 @@ HEADLINE = [
 # reps let a lo/hi pair + its calibration brackets fit inside one
 # machine-noise era, which is what makes the scaling-efficiency number
 # meaningful on this host (VERDICT r01 + r02 bench analysis).
-CRAWL = dict(n_seeds=30000, n_hosts=5000, max_degree=6, max_rounds=2, n_buckets=64)
-# Extraction CPU per page: 150 synthetic words/page (web-realistic body
-# size) over ~45k fetched pages makes the per-URL Arrow-UDF work the
-# dominant, genuinely parallel share of the job.  Measured Amdahl budget:
-# per-round driver-serial cost ~5-7 s (AQE off in measured runs), extract
-# fixed overhead ~10 s, extract CPU ~10 ms/page single-core — parallel
-# fraction supports ~0.84 job-level efficiency at 1->4 cores, so a measured
-# >=0.8 is achievable exactly when the host delivers its cores — which the
-# calibration brackets certify per pair.
-EXTRACT = dict(words_per_page=150, minhash_perms=6)
+CRAWL = dict(n_seeds=30000, n_hosts=5000, max_degree=6, max_rounds=1, n_buckets=64)
+# Extraction CPU per page: 120 synthetic words/page (web-realistic body
+# size) over ~25k fetched pages makes the per-URL Arrow-UDF work the
+# dominant, genuinely parallel share of the job.  Measured Amdahl budget
+# (true-width runs): extract ~17 ms/page single-core, driver-serial cost
+# ~6 s/round (AQE off in measured runs) + ~8 s extract fixed overhead —
+# this sizing caps job-level efficiency at ~0.88 at 1->4 cores while
+# keeping the 1-slot run under ~7 min, i.e. a feasible era-exposure window
+# on a host whose sustained delivery decays on ~10-min timescales.  One
+# crawl round in the *measured* job (the full operator path runs once);
+# the iterative-BFS behaviours are covered by crawl_bfs + the test suite.
+EXTRACT = dict(words_per_page=120, minhash_perms=6)
 
 
 def _force(df):
@@ -208,8 +210,16 @@ def main():
         s = _gs(master=f"local[{cores}]", app_name=f"bench-{cores}",
                 shuffle_partitions=cores,
                 extra_conf={"spark.sql.adaptive.enabled": "false"})
+        # warmup: a tiny crawl AND a tiny extract, so JIT + python-worker
+        # fork/import for the Arrow kernels are paid before the timed run
+        from pyspark.sql import functions as _F
+
+        from scrapy_processors_spark import RemoveHTMLTags as _RH, clean_string as _cs
         from scrapy_processors_spark.frontier.crawler import CrawlConfig as _CC, run_crawl as _rc
         _rc(s, _CC(n_hosts=100, max_degree=2, max_rounds=1, n_buckets=4))
+        _warm = s.range(64).select(
+            _cs.apply_scalar(_RH()(_F.lit("<p>warm up</p>"))).alias("t"))
+        _warm.write.format("noop").mode("overwrite").save()
         print(json.dumps(run_crawl_bench(s, cores)))
         s.stop()
         return

@@ -127,6 +127,39 @@ def q_url_latest_snapshot(spark, sf_dir):
     )
 
 
+def q_robots_parse(spark, sf_dir):
+    """Raw robots.txt -> (*-agent) disallow prefixes, relationally (windows
+    over posexploded lines; frontier/robots.py).  Bodies are synthesized
+    deterministically per doc, covering: plain star group, star group after
+    a non-star group (+ comment + empty-Disallow lines), consecutive-UA
+    group (googlebot and * share rules), and a no-star file (absent from
+    the output).  Prefixes joined with '|' for hashing."""
+    from scrapy_processors_spark.frontier.robots import parse_robots
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("doc_id") % 4
+    did = F.col("doc_id").cast("string")
+    body = (
+        F.when(c == 0, F.concat(
+            F.lit("User-agent: *\nDisallow: /a"), did,
+            F.lit("\nDisallow: /b  # trailing comment\n")))
+        .when(c == 1, F.concat(
+            F.lit("User-agent: googlebot\nDisallow: /g\n\nUser-agent: *\nDisallow: /c"),
+            did, F.lit("\nDisallow:\n")))
+        .when(c == 2, F.concat(
+            F.lit("User-agent: googlebot\nUser-agent: *\nDisallow: /d"),
+            did, F.lit("\n")))
+        .otherwise(F.lit("User-agent: googlebot\nDisallow: /nope\n"))
+    )
+    raw = docs.select(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    parsed = parse_robots(raw)
+    return parsed.select(
+        "host", F.concat_ws("|", "disallow_prefixes").alias("prefixes"))
+
+
 def q_crawl_bfs(spark, sf_dir):
     """Three BFS rounds of the deterministic synthetic crawl (rows-only
     check: the crawl is not SQL-expressible; cross-run/parallelism equality
@@ -143,6 +176,7 @@ FRONTIER_QUERIES = {
     "url_seen_antijoin": q_url_seen_antijoin,
     "url_seen_cuckoo": q_url_seen_cuckoo,
     "url_latest_snapshot": q_url_latest_snapshot,
+    "robots_parse": q_robots_parse,
     "frontier_priority": q_frontier_priority,
     "crawl_bfs": q_crawl_bfs,
 }
@@ -192,6 +226,17 @@ FRONTIER_ORACLES = {
         )
         SELECT url, doc_id, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ts
         FROM r WHERE rn = 1
+    """,
+# independent first-principles oracle: the synthesized bodies follow known
+# templates, so the expected *-agent prefixes per case are derivable without
+# replaying the window parse — a stronger check than an implementation replay
+    "robots_parse": """
+        SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+               CASE WHEN doc_id % 4 = 0 THEN '/a' || CAST(doc_id AS VARCHAR) || '|/b'
+                    WHEN doc_id % 4 = 1 THEN '/c' || CAST(doc_id AS VARCHAR)
+                    WHEN doc_id % 4 = 2 THEN '/d' || CAST(doc_id AS VARCHAR)
+               END AS prefixes
+        FROM documents WHERE doc_id % 4 <> 3
     """,
     "frontier_priority": """
         WITH fr AS (

@@ -1,0 +1,107 @@
+"""Raw robots.txt parsing — relational, not per-row Python.
+
+The crawler's robots cache (``graph.robots_table``) is a pre-tabulated
+``(host, disallow_prefixes)`` frame; this module produces that frame from
+RAW robots.txt bodies, the form a real fetch pipeline has them in
+(robots.txt semantics per the public REP spec, RFC 9309: user-agent groups
+of consecutive ``User-agent:`` lines followed by ``Disallow:`` rules; we
+implement the ``*``-agent subset the crawler consumes, documented scope).
+
+Spark-first shape: ``posexplode`` the body into lines, then WINDOW
+functions attribute each ``Disallow:`` line to its governing user-agent
+group — no stateful fold, no UDF, whole plan stays in codegen + two window
+shuffles partitioned by host (scales by host count, never by file size).
+
+Group semantics implemented:
+- a user-agent GROUP is a maximal run of consecutive ``User-agent:`` lines;
+  its rules run until the next group starts (RFC 9309 §2.2.1);
+- a ``Disallow:`` rule belongs to the nearest preceding group; it applies
+  to ``*`` if ANY agent line of that group is ``*``;
+- empty ``Disallow:`` values (allow-all marker) and comment/blank lines are
+  dropped; field names are case-insensitive, values keep their case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def parse_robots(raw: DataFrame, host_col: str = "host",
+                 body_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) -> (host, disallow_prefixes array<string>) for the
+    ``*`` user-agent, in file order — directly joinable as the crawler's
+    robots cache."""
+    lines = raw.select(
+        host_col,
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "line"),
+    )
+    # strip comments + whitespace; classify fields (case-insensitive names)
+    line = F.trim(F.regexp_replace("line", "#.*$", ""))
+    lines = lines.select(
+        host_col, "pos",
+        F.when(F.lower(line).startswith("user-agent:"),
+               F.trim(F.expr("substring(trim(regexp_replace(line, '#.*$', '')), 12)")))
+         .alias("agent"),
+        F.when(F.lower(line).startswith("disallow:"),
+               F.trim(F.expr("substring(trim(regexp_replace(line, '#.*$', '')), 10)")))
+         .alias("disallow"),
+    ).where(F.col("agent").isNotNull() | F.col("disallow").isNotNull())
+
+    w = Window.partitionBy(host_col).orderBy("pos")
+    # group id: increments at each user-agent line NOT preceded by another
+    # user-agent line (= start of a consecutive-UA run)
+    prev_is_ua = F.lag(F.col("agent").isNotNull(), 1, False).over(w)
+    starts = F.when(F.col("agent").isNotNull() & ~prev_is_ua, 1).otherwise(0)
+    lines = lines.withColumn("group_id", F.sum(starts).over(w))
+
+    # a group applies to '*' if any of its agent lines is '*'
+    star_groups = (
+        lines.where(F.col("agent") == "*")
+        .select(host_col, "group_id").distinct()
+    )
+    rules = (
+        lines.where((F.col("disallow").isNotNull()) & (F.col("disallow") != ""))
+        .join(star_groups, on=[host_col, "group_id"], how="inner")
+    )
+    return (
+        rules.groupBy(host_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "disallow")))
+             .alias("_ordered"))
+        .select(
+            host_col,
+            F.transform("_ordered", lambda s: s["disallow"]).alias("disallow_prefixes"),
+        )
+    )
+
+
+def parse_robots_py(body: str) -> list:
+    """Python ground truth for the same subset (tests compare tiers)."""
+    groups: list = []  # list of (agents, rules)
+    cur_agents: list = []
+    cur_rules: list = []
+    in_ua_run = False
+    for rawline in (body or "").split("\n"):
+        line = rawline.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        name, _, value = line.partition(":")
+        name, value = name.strip().lower(), value.strip()
+        if name == "user-agent":
+            if not in_ua_run:
+                if cur_agents:
+                    groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                in_ua_run = True
+            cur_agents.append(value)
+        else:
+            in_ua_run = False
+            if name == "disallow" and value:
+                cur_rules.append(value)
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    out: list = []
+    for agents, rules in groups:
+        if "*" in agents:
+            out.extend(rules)
+    return out
