@@ -302,12 +302,17 @@ def q_map_compose_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compose fold: len of last word (reference tests/test_collections.py:52-96)."""
-    from scrapy_processors_spark import Compose
+    """Compose fold: len of last word (reference tests/test_collections.py:52-96).
+
+    Builtin/reducer-only stages, so the Compose SQL tier compiles the whole
+    fold to Column expressions — zero per-row Python in this plan
+    (tests/test_pipeline.py::test_compose_sql_tier asserts both value parity
+    with run_python and the absence of ArrowEvalPython)."""
+    from scrapy_processors_spark import Compose, TakeFirst
 
     docs = _t(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    comp = Compose(lambda x: x[::-1], lambda x: x[0], len)
+    comp = Compose(reversed, TakeFirst(exclude=()), len)
     return docs.select(
         "doc_id", comp(words, output_type=T.LongType()).alias("last_word_len")
     )

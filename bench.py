@@ -26,13 +26,27 @@ HEADLINE = [
     "frontier_priority",
 ]
 
+def _env_int(name: str, default: int) -> int:
+    return int(os.environ.get(name, str(default)))
+
+
 # Sized so one crawl+extract rep is a few minutes in a healthy era: short
 # reps let a lo/hi pair + its calibration brackets fit inside one
 # machine-noise era, which is what makes the scaling-efficiency number
-# meaningful on this host (VERDICT r01 + r02 bench analysis).
-CRAWL = dict(n_seeds=30000, n_hosts=5000, max_degree=6, max_rounds=1, n_buckets=64)
+# meaningful on this host (VERDICT r01 + r02 bench analysis).  r03: every
+# driver-host hi run at the r02 sizing (30k seeds, 800 words) blew the
+# 900 s per-run timeout even in gated eras — the driver host runs ~3x
+# slower than dev eras — so the sizing shrinks until a hi run fits in a
+# few minutes THERE, and is env-overridable for experiments.
+CRAWL = dict(
+    n_seeds=_env_int("SPARK_GRAFT_CRAWL_SEEDS", 20000),
+    n_hosts=_env_int("SPARK_GRAFT_CRAWL_HOSTS", 4000),
+    max_degree=_env_int("SPARK_GRAFT_CRAWL_DEGREE", 6),
+    max_rounds=_env_int("SPARK_GRAFT_CRAWL_ROUNDS", 1),
+    n_buckets=_env_int("SPARK_GRAFT_CRAWL_BUCKETS", 64),
+)
 # Extraction workload: ONE fused Arrow-UDF pipeline (html -> text ->
-# clean_string) plus light expressions over ~25k pages of 800 synthetic
+# clean_string) plus light expressions over ~19k pages of 800 synthetic
 # words (a long-form real page).  The earlier sizing also computed
 # simhash + 6 minhash signatures as expression folds — per-pair data
 # showed that tree costs ~30-40 s of DRIVER-SIDE codegen/planning
@@ -42,7 +56,12 @@ CRAWL = dict(n_seeds=30000, n_hosts=5000, max_degree=6, max_rounds=1, n_buckets=
 # the worker-parallel extraction path whose plan compiles in seconds.
 # One crawl round in the measured job (the full operator path runs once);
 # iterative-BFS behaviour is covered by crawl_bfs + the test suite.
-EXTRACT = dict(words_per_page=800)
+# r03: the r02 extract was ~10x slower than designed because lang_id's
+# stopword fold ran as an interpreted higher-order lambda (~13 ms/row);
+# it now compiles to regexp_count single passes, so extract@4 is ~30 s in
+# a healthy era and the hi run fits the driver's 900 s timeout with >4x
+# margin even in starved eras.
+EXTRACT = dict(words_per_page=_env_int("SPARK_GRAFT_EXTRACT_WORDS", 800))
 
 
 def _force(df):
@@ -78,7 +97,7 @@ def run_crawl_bench(spark, cores: int) -> dict:
     from pyspark.sql import functions as F
 
     from scrapy_processors_spark import RemoveHTMLTags, clean_string
-    from scrapy_processors_spark.datapipe import textstats
+    from scrapy_processors_spark.datapipe import dedup, textstats
     from scrapy_processors_spark.frontier import graph
     from scrapy_processors_spark.frontier.crawler import CrawlConfig, run_crawl
 
@@ -117,6 +136,10 @@ def run_crawl_bench(spark, cores: int) -> dict:
         "url", F.concat(F.lit('  "<p>'), words, F.lit(' !</p>  ')).alias("html"))
     text = clean_string.apply_scalar(RemoveHTMLTags()(F.col("html")))
     pages = pages.select("url", text.alias("text"), "html")
+    # signatures restored (VERDICT r02 #3): the Arrow kernel variants
+    # compile in ms — the r02 expression-fold tree cost ~30-40 s of
+    # driver-serial codegen, which is why signatures were dropped then
+    mh = dedup.minhash_kernel(num_hashes=4, shingle_n=2)
     processed = pages.select(
         "url",
         "text",
@@ -124,6 +147,8 @@ def run_crawl_bench(spark, cores: int) -> dict:
         F.xxhash64(F.col("html")).alias("fp"),  # native 64-bit fingerprint
         textstats.quality_score(F.col("html")).alias("quality"),
         textstats.lang_id(F.col("text")).alias("lang_guess"),
+        dedup.simhash16_kernel(F.col("text")).alias("simhash"),
+        mh(F.col("text")).alias("minhash"),
     )
     _force(processed)
     extract_wall = time.time() - t1

@@ -41,7 +41,7 @@ def _is_param(name: str, value: Any) -> bool:
     non-descriptor, non-dunder."""
     if name.startswith("_"):
         return False
-    if name in ("output_type", "is_list_valued", "tier"):
+    if name in ("output_type", "is_list_valued", "tier", "list_output"):
         return False
     if inspect.isfunction(value) or inspect.ismethod(value):
         return False

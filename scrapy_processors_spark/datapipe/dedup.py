@@ -20,10 +20,14 @@ no RNG anywhere.
 
 from __future__ import annotations
 
+import hashlib
 from typing import List
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 HEX = "0123456789abcdef"
 
@@ -70,7 +74,20 @@ def minhash_column(shingles: Column, seed: int) -> Column:
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 4,
-                       shingle_n: int = 2) -> DataFrame:
+                       shingle_n: int = 2, impl: str = "auto") -> DataFrame:
+    """``impl``: 'expr' = Column folds (codegen-free runtime but the plan
+    tree grows ~linearly with num_hashes and its driver-side analysis is a
+    serial floor, BENCH.md §4); 'kernel' = one Arrow UDF (ms compile, one
+    batch pass); 'auto' = kernel at >= 8 permutations.  Both produce
+    identical bytes (tests enforce)."""
+    if impl == "auto":
+        impl = "kernel" if num_hashes >= 8 else "expr"
+    if impl == "kernel":
+        k = minhash_kernel(num_hashes, shingle_n)
+        sig = df.select(F.col(id_col).alias("id"),
+                        k(F.col(text_col)).alias("_mh"))
+        return sig.select(
+            "id", *[F.col("_mh")[j].alias(f"mh_{j}") for j in range(num_hashes)])
     sh = word_shingles(F.col(text_col), shingle_n)
     cols = [minhash_column(sh, j).alias(f"mh_{j}") for j in range(num_hashes)]
     return df.select(F.col(id_col).alias("id"), *cols)
@@ -150,6 +167,69 @@ def simhash16(text: Column) -> Column:
     return F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+# ----------------------------------------------- Arrow signature kernels
+#
+# The expression folds above are shuffle-free but have two costs that grow
+# with signature width: (a) the driver-side analysis/codegen of the
+# ~16-wide zip_with/aggregate tree is a SERIAL floor measured at ~30-40 s
+# per plan (BENCH.md §4) — per job at 100 TB with many pipelines that
+# recurs per plan; (b) higher-order array functions are CodegenFallback
+# (interpreted per element) at runtime.  These kernels compute the SAME
+# bytes (md5-derived, engine-independent) in one Arrow-batched pass and
+# compile in milliseconds; `minhash_signatures(impl=...)`/`simhash16_auto`
+# dispatch on width.  Mirrors `similarity.lsh_buckets_udf`.
+
+def _simhash16_py(text: str) -> int:
+    sums = [0] * 16
+    for w in text.split(" "):
+        v = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:4], 16)
+        for b in range(16):
+            bit = (v >> (4 * (3 - b // 4) + b % 4)) & 1
+            sums[b] += 1 if bit else -1
+    return sum(1 << b for b in range(16) if sums[b] > 0)
+
+
+@F.pandas_udf(T.LongType())
+def simhash16_kernel(s: pd.Series) -> pd.Series:
+    """Arrow-batched SimHash: identical output to ``simhash16`` (equivalence
+    enforced by tests/test_datapipe.py::test_simhash_kernel_matches_fold)."""
+    return s.map(lambda v: None if v is None else _simhash16_py(v))
+
+
+def _shingles_py(text: str, n: int) -> List[str]:
+    """Python replica of ``word_shingles``: split on single space, join n
+    adjacent tokens with a space; a doc shorter than n words yields one
+    (possibly shorter) shingle — matching the slice/zip_with formulation."""
+    words = text.split(" ")
+    k = max(len(words) - (n - 1), 1)
+    return [" ".join(words[i:i + n]) for i in range(k)]
+
+
+def minhash_kernel(num_hashes: int = 4, shingle_n: int = 2):
+    """Factory: pandas UDF returning the array of 8-hex minhashes, value-
+    identical to ``minhash_column`` over ``word_shingles`` per seed."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def kernel(s: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+
+        def one(text):
+            if text is None:
+                return None
+            shingles = _shingles_py(text, shingle_n)
+            out = []
+            for j in range(num_hashes):
+                suffix = f"#{j}".encode("utf-8")
+                out.append(min(
+                    md5(sh.encode("utf-8") + suffix).hexdigest()[:8]
+                    for sh in shingles))
+            return out
+
+        return s.map(one)
+
+    return kernel
+
+
 # ---------------------------------------------------------- ngram jaccard
 def ngram_jaccard(text_a: Column, text_b: Column, n: int = 2) -> Column:
     """Exact Jaccard over distinct word n-gram sets (verify stage for LSH
@@ -162,14 +242,27 @@ def ngram_jaccard(text_a: Column, text_b: Column, n: int = 2) -> Column:
 
 
 # ------------------------------------------------------- embedding cosine
-def cosine_similarity(vec_a: Column, vec_b: Column) -> Column:
-    """Cosine over two array<numeric> columns, computed in double."""
+def dot_product(vec_a: Column, vec_b: Column) -> Column:
+    """Sequential left-fold dot over two array<numeric> columns (double)."""
     a = F.transform(vec_a, lambda x: x.cast("double"))
     b = F.transform(vec_b, lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(vec: Column) -> Column:
+    """L2 norm of an array<numeric> column via the same sequential fold."""
+    a = F.transform(vec, lambda x: x.cast("double"))
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_similarity(vec_a: Column, vec_b: Column) -> Column:
+    """Cosine over two array<numeric> columns, computed in double.
+
+    Join-heavy callers (``similarity.cosine_topk``) should instead
+    precompute ``l2_norm`` per side before the join and divide
+    ``dot_product`` by the product — identical IEEE result, one fold per
+    pair instead of three (Catalyst does not factor the norm subexpression
+    out through a join)."""
+    return dot_product(vec_a, vec_b) / (l2_norm(vec_a) * l2_norm(vec_b))

@@ -19,22 +19,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from scrapy_processors_spark.datapipe.dedup import cosine_similarity
+from scrapy_processors_spark.datapipe.dedup import dot_product, l2_norm
 
 
 def cosine_topk(queries: DataFrame, candidates: DataFrame, k: int = 3,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 round_digits: int = 4) -> DataFrame:
     """Brute-force cosine top-k.  ``queries`` is expected to be small (it is
-    broadcast); ranking ties break on candidate id for determinism."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    broadcast); ranking ties break on candidate id for determinism.
+
+    Norms are precomputed per SIDE before the crossJoin (|Q|+|C| folds),
+    not per pair inside it (|Q|x|C| folds x3): identical IEEE result, a 3x
+    cut in per-pair work — the term that dominates at 100 TB."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                       l2_norm(F.col(vec_col)).alias("qn"))
+    c = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
+                          l2_norm(F.col(vec_col)).alias("cn"))
     scored = (
         F.broadcast(q).crossJoin(c)
         .where(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id", "cand_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), round_digits).alias("cos"),
+            F.round(dot_product(F.col("qv"), F.col("cv"))
+                    / (F.col("qn") * F.col("cn")), round_digits).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
@@ -158,22 +165,25 @@ def lsh_bucketed_topk(queries: DataFrame, candidates: DataFrame, k: int = 3,
 
     def with_buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
         return df.select(
-            F.col(idc), F.col(vc),
+            "*",
             F.posexplode(buckets_udf(F.col(vc))).alias("table_id", "bucket"),
         )
 
     q = with_buckets(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                       l2_norm(F.col(vec_col)).alias("qn")),
         "query_id", "qv")
     c = with_buckets(
-        candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")),
+        candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
+                          l2_norm(F.col(vec_col)).alias("cn")),
         "cand_id", "cv")
     scored = (
         F.broadcast(q).join(c, on=["table_id", "bucket"])
         .where(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id", "cand_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), round_digits).alias("cos"),
+            F.round(dot_product(F.col("qv"), F.col("cv"))
+                    / (F.col("qn") * F.col("cn")), round_digits).alias("cos"),
         )
         .distinct()  # a pair matching in several tables scores once
     )

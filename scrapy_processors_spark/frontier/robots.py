@@ -36,21 +36,29 @@ def parse_robots(raw: DataFrame, host_col: str = "host",
         host_col,
         F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "line"),
     )
-    # strip comments + whitespace; classify fields (case-insensitive names)
-    line = F.trim(F.regexp_replace("line", "#.*$", ""))
+    # strip comments + whitespace; KEEP every recognized field line (any
+    # `name: value`) — a non-UA field between two user-agent runs must
+    # reset the run (RFC 9309: "Allow:" etc. end the UA line block), so
+    # group starts are computed over the unfiltered field lines and only
+    # then are non-rule lines dropped (ADVICE r02: filtering first merged
+    # groups separated by Allow/Crawl-delay and over-blocked `*`).
     lines = lines.select(
         host_col, "pos",
-        F.when(F.lower(line).startswith("user-agent:"),
-               F.trim(F.expr("substring(trim(regexp_replace(line, '#.*$', '')), 12)")))
-         .alias("agent"),
-        F.when(F.lower(line).startswith("disallow:"),
-               F.trim(F.expr("substring(trim(regexp_replace(line, '#.*$', '')), 10)")))
-         .alias("disallow"),
-    ).where(F.col("agent").isNotNull() | F.col("disallow").isNotNull())
+        F.trim(F.regexp_replace("line", "#.*$", "")).alias("clean"),
+    ).where((F.col("clean") != "") & F.col("clean").contains(":"))
+    ua_rx, dis_rx = r"(?i)^user-agent\s*:", r"(?i)^disallow\s*:"
+    lines = lines.select(
+        host_col, "pos",
+        F.when(F.col("clean").rlike(ua_rx),
+               F.trim(F.regexp_replace("clean", ua_rx, ""))).alias("agent"),
+        F.when(F.col("clean").rlike(dis_rx),
+               F.trim(F.regexp_replace("clean", dis_rx, ""))).alias("disallow"),
+    )
 
     w = Window.partitionBy(host_col).orderBy("pos")
     # group id: increments at each user-agent line NOT preceded by another
-    # user-agent line (= start of a consecutive-UA run)
+    # user-agent line (= start of a consecutive-UA run; any other field
+    # line in between breaks the run, matching parse_robots_py)
     prev_is_ua = F.lag(F.col("agent").isNotNull(), 1, False).over(w)
     starts = F.when(F.col("agent").isNotNull() & ~prev_is_ua, 1).otherwise(0)
     lines = lines.withColumn("group_id", F.sum(starts).over(w))

@@ -111,6 +111,8 @@ class Reducer(Op):
     static type specialization of predicates."""
 
     tier = "sql"
+    #: True when the reduction yields a LIST (Compose SQL-tier state tracking)
+    list_output = False
 
     def element_type(self) -> T.DataType:
         return self.context.get("elem_type", T.StringType())
@@ -118,6 +120,8 @@ class Reducer(Op):
 
 class TakeAll(Reducer):
     """Identity passthrough (reference ``multi_values.py:60-102``)."""
+
+    list_output = True
 
     elem_type: T.DataType = T.StringType()
 
@@ -134,6 +138,8 @@ Identity = TakeAll
 class TakeAllTruthy(Reducer):
     """Keep truthy values; default when none (reference
     ``multi_values.py:104-161``)."""
+
+    list_output = True
 
     falsey_values: Tuple[Any, ...] = FALSEY_VALUES
     empty_iterables_are_falsey: bool = True
@@ -184,7 +190,10 @@ class TakeFirst(Reducer):
                 cond = cond & (x.isNull() | (x != lit))
             return cond
 
-        first = F.get(F.filter(col, keep), 0)  # ANSI-safe on empty arrays
+        if not exclude_null and not lits:
+            first = F.get(col, 0)  # no exclusions: skip the (interpreted) filter
+        else:
+            first = F.get(F.filter(col, keep), 0)  # ANSI-safe on empty arrays
         if default is None:
             return first
         return F.coalesce(first, F.lit(default))
@@ -272,6 +281,8 @@ class Flatten(Reducer):
     """Recursively flatten (reference ``multi_values.py:298-310``).  Column
     arrays have a static nesting depth, so recursion unrolls at plan time via
     ``depth``."""
+
+    list_output = True
 
     depth: int = 1
 

@@ -207,23 +207,50 @@ class RemoveHTMLTags(Op):
 
 class Demojize(Op):
     """Emoji -> ``:shortcode:`` (reference ``single_value.py:465-509``; table
-    provenance in ``kernels/emoji_data.py``)."""
+    provenance in ``kernels/emoji_data.py``).
+
+    ``version``/``handle_version`` follow the emoji lib's public demojize
+    semantics: when ``version`` is set, an emoji introduced in a LATER
+    Unicode-emoji version is not converted — instead ``handle_version``
+    decides its fate: a callable is invoked as ``handle_version(emj, data)``
+    (``data`` carries the en shortcode + 'E' version like the lib's
+    EMOJI_DATA entry), a string substitutes literally, and None removes the
+    emoji.  Version data is the documented subset in
+    ``emoji_data.EMOJI_VERSION``.
+    """
 
     delimiters: Tuple[str, str] = (":", ":")
     language: str = "en"
+    version: Optional[Union[str, int, float]] = None
+    handle_version: Optional[object] = None
 
     tier = "pandas"
     output_type = T.StringType()
 
     def _repl(self):
-        delims, lang = self.unpack_context()
+        delims, lang, version, handle_version = self.unpack_context()
         left, right = delims
         table = emoji_data.table_for(lang)
+        max_version = None if version is None else float(version)
 
         def repl(m: "re.Match[str]") -> str:
-            name = table.get(m.group(0))
+            emj = m.group(0)
+            name = table.get(emj)
             # emoji detected but absent from a non-en subset table stay intact
-            return m.group(0) if name is None else left + name + right
+            if name is None:
+                return emj
+            if (max_version is not None
+                    and emoji_data.version_for(emj) > max_version):
+                if callable(handle_version):
+                    data = {"en": f":{emoji_data.EMOJI_TO_NAME.get(emj, name)}:",
+                            "E": emoji_data.version_for(emj)}
+                    if lang != "en":
+                        data[lang] = f"{left}{name}{right}"
+                    return str(handle_version(emj, data))
+                if handle_version is not None:
+                    return str(handle_version)
+                return ""
+            return left + name + right
 
         return repl
 

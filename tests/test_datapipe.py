@@ -78,6 +78,50 @@ def test_lsh_bucketed_topk(vecs):
     assert any(r["cand_id"] == 100 for r in out)
 
 
+def test_simhash_kernel_matches_fold(docs):
+    out = docs.select(
+        "doc_id",
+        dedup.simhash16(F.col("text")).alias("expr"),
+        dedup.simhash16_kernel(F.col("text")).alias("kern"),
+    ).collect()
+    assert out, "empty comparison"
+    for r in out:
+        assert r["expr"] == r["kern"], r["doc_id"]
+
+
+def test_minhash_kernel_matches_expr(docs):
+    expr = dedup.minhash_signatures(docs, impl="expr").collect()
+    kern = dedup.minhash_signatures(docs, impl="kernel").collect()
+    by_id_e = {r["id"]: tuple(r[f"mh_{j}"] for j in range(4)) for r in expr}
+    by_id_k = {r["id"]: tuple(r[f"mh_{j}"] for j in range(4)) for r in kern}
+    assert by_id_e == by_id_k
+    # auto dispatch: wide signatures go to the kernel, narrow stay expr
+    wide = dedup.minhash_signatures(docs, num_hashes=8)
+    assert "ArrowEvalPython" in wide._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stop_count_rx_matches_fold(spark):
+    """The codegen regexp reformulation must agree token-for-token with the
+    interpreted fold spec on every boundary shape (newlines, tabs, doubled
+    spaces, punctuation-attached, leading/trailing, adjacency)."""
+    rows = [
+        ("the quick the of",), ("the of and to",), ("",), (" ",),
+        ("the",), (" the ",), ("the\nof",), ("of\n",), ("\nthe of",),
+        ("a,the of.",), ("the  of",), ("xthe of thex",), ("the\tof",),
+        ("el la the los que",), ("não são uma",), ("the the the",),
+        ("to to  to   to",), ("is",), ("is ",), (" is",), ("for$ with",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    words = F.split(F.col("text"), " ")
+    cols = []
+    for lang in textstats.STOPWORDS:
+        cols.append(textstats._stop_count(words, lang).alias(f"fold_{lang}"))
+        cols.append(textstats._stop_count_rx(F.col("text"), lang).alias(f"rx_{lang}"))
+    for r in df.select("text", *cols).collect():
+        for lang in textstats.STOPWORDS:
+            assert r[f"fold_{lang}"] == r[f"rx_{lang}"], (r["text"], lang)
+
+
 def test_textstats(docs):
     out = docs.select(
         "doc_id",

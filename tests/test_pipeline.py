@@ -230,3 +230,47 @@ def test_array_input_list_valued_kernel_spark(spark):
     mc = MapCompose(PhoneNumbers())
     out = df.select(mc.apply_array(F.col("v")).alias("r")).collect()[0]["r"]
     assert out == ["+18163603390", "+16502530000"]
+
+
+def test_compose_sql_tier_values_and_plan(spark):
+    """Builtin/reducer-only Compose folds compile to pure Column expressions
+    (VERDICT r02 #5): values match run_python exactly AND the plan carries no
+    Python eval node."""
+    from scrapy_processors_spark import Compose, TakeFirst
+
+    comp = Compose(reversed, TakeFirst(exclude=()), len)
+    rows = [(0, ["ab", "cde", "f"]), (1, ["x"]), (2, []), (3, None),
+            (4, ["", "yy"]), (5, ["one", ""])]
+    df = spark.createDataFrame(rows, "id long, v array<string>")
+    out = df.select("id", comp(F.col("v"), output_type=T.LongType()).alias("r"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    got = {r["id"]: r["r"] for r in out.collect()}
+    for vid, v in rows:
+        expected = comp.run_python(v if v is not None else [])
+        assert got[vid] == expected, (vid, got[vid], expected)
+
+
+def test_compose_opaque_stage_keeps_kernel(spark):
+    """A lambda stage is not SQL-expressible: the fold must still run (via
+    the fused kernel) and match run_python."""
+    from scrapy_processors_spark import Compose
+
+    comp = Compose(lambda x: x[::-1], lambda x: x[0] if x else None)
+    df = spark.createDataFrame([(0, ["a", "b"]), (1, [])], "id long, v array<string>")
+    out = df.select("id", comp(F.col("v")).alias("r"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in plan
+    got = {r["id"]: r["r"] for r in out.collect()}
+    assert got[0] == "b" and got[1] is None
+
+
+def test_compose_sql_tier_respects_compose_default(spark):
+    from scrapy_processors_spark import Compose, TakeFirst
+
+    comp = Compose(TakeFirst(exclude=()), default="empty")
+    df = spark.createDataFrame([(0, ["a"]), (1, [])], "id long, v array<string>")
+    out = df.select("id", comp(F.col("v")).alias("r"))
+    assert "EvalPython" not in out._jdf.queryExecution().executedPlan().toString()
+    got = {r["id"]: r["r"] for r in out.collect()}
+    assert got[0] == "a" and got[1] == "empty"

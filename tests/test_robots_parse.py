@@ -28,6 +28,13 @@ BODIES = {
     "case_insensitive_fields": "USER-AGENT: *\nDISALLOW: /Upper\n",
     "empty": "",
     "rules_before_any_group": "Disallow: /orphan\nUser-agent: *\nDisallow: /ok\n",
+    # ADVICE r02: a non-UA field line between two UA runs must END the first
+    # group — '*' gets no rules here (the Allow line breaks the UA run, so
+    # 'b' starts a NEW group owning /z)
+    "allow_splits_groups": "User-agent: *\nAllow: /x\nUser-agent: b\nDisallow: /z\n",
+    "crawl_delay_between": "User-agent: a\nCrawl-delay: 5\nUser-agent: *\nDisallow: /w\n",
+    "sitemap_then_star": "Sitemap: http://x/s.xml\nUser-agent: *\nDisallow: /m\n",
+    "space_before_colon": "User-agent : *\nDisallow : /s\n",
 }
 
 EXPECTED = {
@@ -40,6 +47,10 @@ EXPECTED = {
     "case_insensitive_fields": ["/Upper"],
     "empty": [],
     "rules_before_any_group": ["/ok"],
+    "allow_splits_groups": [],
+    "crawl_delay_between": ["/w"],
+    "sitemap_then_star": ["/m"],
+    "space_before_colon": ["/s"],
 }
 
 

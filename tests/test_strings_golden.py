@@ -261,6 +261,78 @@ def test_demojize_fr_spark(spark):
         c[1] for c in DEMOJIZE_FR_CASES]
 
 
+DEMOJIZE_DE_CASES = [
+    ("Python \U0001F44D", "Python :Daumen_hoch:"),
+    ("Hallo \U0001F642", "Hallo :leicht_lächelndes_Gesicht:"),
+    ("Liebe ❤️", "Liebe :rotes_Herz:"),
+    ("Welt \U0001F30D", "Welt \U0001F30D"),  # outside de subset: intact
+]
+
+DEMOJIZE_PT_CASES = [
+    ("Python \U0001F44D", "Python :polegar_para_cima:"),
+    ("Olá \U0001F642", "Olá :rosto_levemente_sorridente:"),
+    ("Amor ❤️", "Amor :coração_vermelho:"),
+    ("mundo \U0001F30D", "mundo \U0001F30D"),  # outside pt subset: intact
+]
+
+
+@pytest.mark.parametrize("inp,exp", DEMOJIZE_DE_CASES)
+def test_demojize_de_py(inp, exp):
+    assert Demojize(language="de").process_value(inp) == exp
+
+
+@pytest.mark.parametrize("inp,exp", DEMOJIZE_PT_CASES)
+def test_demojize_pt_py(inp, exp):
+    assert Demojize(language="pt").process_value(inp) == exp
+
+
+def test_demojize_de_pt_spark(spark):
+    for lang, cases in (("de", DEMOJIZE_DE_CASES), ("pt", DEMOJIZE_PT_CASES)):
+        op = Demojize(language=lang)
+        assert run_scalar(spark, op, [c[0] for c in cases]) == [c[1] for c in cases]
+
+
+# emoji-lib version semantics (public emoji.demojize contract): emoji newer
+# than `version` are not converted — removed (None), replaced (str), or
+# delegated (callable handle_version(emj, data)).
+def test_demojize_version_filters_newer():
+    op = Demojize(version=5.0)
+    # 🥰 is E11.0 > 5.0 -> removed; 👍 is E0.6 -> converted
+    assert op.process_value("hi \U0001F970 ok \U0001F44D") == "hi  ok :thumbs_up:"
+
+
+def test_demojize_version_keeps_older():
+    op = Demojize(version=11.0)
+    assert op.process_value("hi \U0001F970") == "hi :smiling_face_with_hearts:"
+
+
+def test_demojize_handle_version_string():
+    op = Demojize(version=1.0, handle_version="<new>")
+    assert op.process_value("\U0001F970 and \U0001F600") == "<new> and :grinning_face:"
+
+
+def test_demojize_handle_version_callable():
+    def hv(emj, data):
+        assert data["E"] == 11.0
+        assert data["en"] == ":smiling_face_with_hearts:"
+        return f"[v{data['E']}]"
+
+    op = Demojize(version=1.0, handle_version=hv)
+    assert op.process_value("x \U0001F970") == "x [v11.0]"
+
+
+def test_demojize_version_as_context_override():
+    op = Demojize()
+    assert op.with_context(version=5.0).process_value("\U0001F970") == ""
+    # and version passed as a string coerces numerically
+    assert op.with_context(version="5").process_value("\U0001F973") == ""
+
+
+def test_demojize_version_spark(spark):
+    op = Demojize(version=5.0, handle_version="~")
+    assert run_scalar(spark, op, ["a \U0001F970 b \U0001F44D"]) == ["a ~ b :thumbs_up:"]
+
+
 # ----------------------------------------------------------------- RemoveEmojis
 REMOVE_EMOJI_CASES = [
     ("Python is fun \U0001F44D", "Python is fun "),
