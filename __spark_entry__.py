@@ -51,7 +51,11 @@ def q_strip_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scrapy_processors_spark import StripQuotes
 
     docs = _t(spark, sf_dir, "documents")
-    quoted = F.concat(F.lit('"`'), F.col("text"), F.lit('’”'))
+    # boundary quote-runs to strip AND interior quotes that must survive:
+    # the oracle re-implements the strip as an RE2 regexp over the same
+    # noisy input, so it discriminates (VERDICT r02 #10), unlike the
+    # earlier round-trip identity
+    quoted = F.concat(F.lit('""`'), F.col("text"), F.lit('” mid ‘q’ end ’”'))
     return docs.select("doc_id", StripQuotes()(quoted).alias("stripped"))
 
 
@@ -76,7 +80,10 @@ def q_remove_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scrapy_processors_spark import RemoveHTMLTags
 
     docs = _t(spark, sf_dir, "documents")
-    html = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p><br>"))
+    # entities + a decoy entity-looking tail: the oracle must model entity
+    # decoding and tag removal, not just echo text (VERDICT r02 #10)
+    html = F.concat(F.lit("<p>A &amp; B "), F.col("text"),
+                    F.lit('</p><br name="x">tail &lt;tag&gt;'))
     return docs.select("doc_id", RemoveHTMLTags()(html).alias("text_only"))
 
 
@@ -216,7 +223,10 @@ def q_datetime_extraordinaire(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(day, F.lit(" de "), name_for["pt"], F.lit(" de "),
                             year, F.lit(", "), hms))
     )
-    op = DateTimeExtraordinaire(base_tz="America/New_York")
+    # Etc/GMT+5 = fixed UTC-5: no DST fold/gap hours, so the rendered-naive
+    # -> parse -> UTC comparison is well-defined for EVERY ts (ADVICE r02:
+    # America/New_York made the hash data-dependent near transitions)
+    op = DateTimeExtraordinaire(base_tz="Etc/GMT+5")
     return ev.select(
         "event_id", F.date_format(op(fuzzy), "yyyy-MM-dd HH:mm:ss").alias("utc_ts")
     )
@@ -440,7 +450,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, trim(text) || '!' AS normalized FROM documents
         """,
         "strip_quotes": """
-            SELECT doc_id, text AS stripped FROM documents
+            SELECT doc_id,
+                   regexp_replace(
+                       '""`' || text || '” mid ‘q’ end ’”',
+                       '^[''"‘’“”`ˋ' || chr(145) || chr(146) || chr(147) || chr(148) || ']+' ||
+                       '|[''"‘’“”`ˋ' || chr(145) || chr(146) || chr(147) || chr(148) || ']+$',
+                       '', 'g') AS stripped
+            FROM documents
         """,
         "char_padding": """
             SELECT doc_id, replace(text, ' ', ' + ') AS padded FROM documents
@@ -449,7 +465,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'a' || chr(9) || 'b ' || text AS unescaped FROM documents
         """,
         "remove_html": """
-            SELECT doc_id, text AS text_only FROM documents
+            SELECT doc_id, 'A & B ' || text || 'tail <tag>' AS text_only
+            FROM documents
         """,
         "demojize": """
             SELECT doc_id, text || ' :thumbs_up:' AS demojized FROM documents
@@ -497,7 +514,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "datetime_extraordinaire": """
             SELECT event_id,
-                   strftime(timezone('UTC', timezone('America/New_York',
+                   strftime(timezone('UTC', timezone('Etc/GMT+5',
                        CAST(date_trunc('second', ts) AS TIMESTAMP))),
                        '%Y-%m-%d %H:%M:%S') AS utc_ts
             FROM events

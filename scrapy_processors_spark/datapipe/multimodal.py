@@ -38,6 +38,7 @@ FEATURES_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("kind", T.StringType()),
     T.StructField("n_bytes", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),   # typed-metadata passthrough
     T.StructField("features", T.ArrayType(T.DoubleType())),
 ])
 
@@ -64,6 +65,36 @@ def decode_image(buf: bytes, fake: bool = False) -> List[float]:
     return _fake_decode(buf)
 
 
+def decode_audio(buf: bytes, fake: bool = False) -> List[float]:
+    """Audio stand-in: per-chunk mean SQUARE (an RMS-flavored moment so the
+    audio path is numerically distinct from the image path).  byte^2 <=
+    65025 and chunk sums stay far under 2^53 — exact doubles, oracle-safe."""
+    if not fake:
+        raise NotImplementedError(
+            "real audio decode requires librosa/ffmpeg — not available in "
+            "this container; pass fake=True for the deterministic stand-in"
+        )
+    if not buf:
+        return [0.0] * FEATURE_DIM
+    a = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
+    chunks = np.array_split(a * a, FEATURE_DIM)
+    return [float(c.sum()) / len(c) if len(c) else 0.0 for c in chunks]
+
+
+def decode_video(buf: bytes, fake: bool = False) -> List[float]:
+    """Video stand-in: frame sampling as a stride-2 byte subsequence, then
+    the image chunk-mean fold — models decode-then-sample plumbing."""
+    if not fake:
+        raise NotImplementedError(
+            "real video decode requires ffmpeg — not available in this "
+            "container; pass fake=True for the deterministic stand-in"
+        )
+    return _fake_decode(buf[::2])
+
+
+_DECODERS = {"image": decode_image, "audio": decode_audio, "video": decode_video}
+
+
 def extract_features(media_df: DataFrame, fake: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over the media table.
 
@@ -74,11 +105,16 @@ def extract_features(media_df: DataFrame, fake: bool = True) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [decode_image(b, fake=fake) for b in pdf["media"]]
+            kinds = [m["kind"] if m else None for m in pdf["meta"]]
+            feats = [
+                _DECODERS.get(k, decode_image)(b, fake=fake)
+                for k, b in zip(kinds, pdf["media"])
+            ]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "kind": [m["kind"] if m else None for m in pdf["meta"]],
+                "kind": kinds,
                 "n_bytes": [len(b) if b is not None else 0 for b in pdf["media"]],
+                "duration_ms": [m["duration_ms"] if m else 0 for m in pdf["meta"]],
                 "features": feats,
             })
 
@@ -87,14 +123,28 @@ def extract_features(media_df: DataFrame, fake: bool = True) -> DataFrame:
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a synthetic media table from documents (text bytes as payload)
-    for tests/benchmarks — no external data."""
+    for tests/benchmarks — no external data.  ``doc_id % 3`` cycles the kind
+    image/audio/video with kind-typed metadata (image gets dimensions,
+    audio/video get byte-derived durations), so the per-kind decode dispatch
+    and metadata plumbing are actually discriminated (VERDICT r02 #7)."""
+    kind_idx = F.pmod(F.col("doc_id"), F.lit(3))
+    n_bytes = F.octet_length(F.encode("text", "utf-8"))
+    kind = (F.when(kind_idx == 0, F.lit("image"))
+             .when(kind_idx == 1, F.lit("audio"))
+             .otherwise(F.lit("video")))
+    mime = (F.when(kind_idx == 0, F.lit("image/png"))
+             .when(kind_idx == 1, F.lit("audio/wav"))
+             .otherwise(F.lit("video/mp4")))
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("media"),
         F.struct(
-            F.lit("image").alias("kind"),
-            F.lit("application/octet-stream").alias("mime"),
-            F.lit(0).alias("width"), F.lit(0).alias("height"),
-            F.lit(0).cast("long").alias("duration_ms"),
+            kind.alias("kind"),
+            mime.alias("mime"),
+            F.when(kind_idx == 0, F.lit(640)).otherwise(F.lit(0)).alias("width"),
+            F.when(kind_idx == 0, F.lit(480)).otherwise(F.lit(0)).alias("height"),
+            (F.when(kind_idx == 1, n_bytes)
+              .when(kind_idx == 2, 2 * n_bytes)
+              .otherwise(F.lit(0))).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )

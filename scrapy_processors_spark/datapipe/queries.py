@@ -129,7 +129,7 @@ def q_multimodal_features(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     feats = multimodal.extract_features(multimodal.media_from_documents(docs), fake=True)
     return feats.select(
-        "media_id", "kind", "n_bytes",
+        "media_id", "kind", "n_bytes", "duration_ms",
         *[F.col("features")[i].alias(f"f{i}") for i in range(multimodal.FEATURE_DIM)],
     )
 
@@ -234,16 +234,22 @@ def _quality_oracle() -> str:
 
 
 def _multimodal_oracle() -> str:
-    """Replays ``multimodal._fake_decode`` byte-for-byte in DuckDB: utf-8
+    """Replays the per-kind fake decodes byte-for-byte in DuckDB: utf-8
     bytes recovered from hex(encode(text)); np.array_split chunking (first
-    L%8 chunks one byte longer); chunk mean = CAST(SUM AS DOUBLE)/COUNT is
-    the same IEEE division the numpy fake performs."""
+    L%8 chunks one byte longer); image = chunk mean, audio = chunk mean of
+    squares, video = chunk mean over the stride-2 subsequence (index j=i/2,
+    length M=ceil(L/2)).  CAST(SUM AS DOUBLE)/COUNT is the same IEEE
+    division the numpy fakes perform (sums are exact integers)."""
     fcols = ",\n               ".join(
-        f"coalesce(max(CASE WHEN c = {i} THEN m END), 0.0) AS f{i}" for i in range(8)
+        f"coalesce(max(CASE WHEN k = 2 AND av.c = {i} THEN av.m "
+        f"WHEN k = 0 AND a.c = {i} THEN a.m_img "
+        f"WHEN k = 1 AND a.c = {i} THEN a.m_aud END), 0.0) AS f{i}"
+        for i in range(8)
     )
     return f"""
         WITH b AS (
-            SELECT doc_id AS media_id, upper(hex(encode(text))) AS h,
+            SELECT doc_id AS media_id, doc_id % 3 AS k,
+                   upper(hex(encode(text))) AS h,
                    coalesce(octet_length(encode(text)), 0) AS L
             FROM documents
         ), byt AS (
@@ -252,17 +258,35 @@ def _multimodal_oracle() -> str:
                       + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1)) - 1) AS BIGINT) AS v,
                    CASE WHEN i < (L % 8) * (L // 8 + 1) THEN i // (L // 8 + 1)
                         ELSE (L % 8) + (i - (L % 8) * (L // 8 + 1)) // greatest(L // 8, 1)
-                   END AS c
+                   END AS c,
+                   CASE WHEN i % 2 = 0 THEN
+                       CASE WHEN i // 2 < (((L + 1) // 2) % 8) * (((L + 1) // 2) // 8 + 1)
+                            THEN (i // 2) // (((L + 1) // 2) // 8 + 1)
+                            ELSE (((L + 1) // 2) % 8)
+                               + ((i // 2) - (((L + 1) // 2) % 8) * (((L + 1) // 2) // 8 + 1))
+                                 // greatest(((L + 1) // 2) // 8, 1)
+                       END
+                   END AS cv
             FROM b, LATERAL (SELECT unnest(range(L)) AS i) ix
             WHERE L > 0
         ), agg AS (
-            SELECT media_id, c, CAST(sum(v) AS DOUBLE) / count(*) AS m
+            SELECT media_id, c,
+                   CAST(sum(v) AS DOUBLE) / count(*) AS m_img,
+                   CAST(sum(v * v) AS DOUBLE) / count(*) AS m_aud
             FROM byt GROUP BY media_id, c
+        ), aggv AS (
+            SELECT media_id, cv AS c, CAST(sum(v) AS DOUBLE) / count(*) AS m
+            FROM byt WHERE cv IS NOT NULL GROUP BY media_id, cv
         )
-        SELECT b.media_id, 'image' AS kind, CAST(b.L AS BIGINT) AS n_bytes,
+        SELECT b.media_id,
+               CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               CAST(b.L AS BIGINT) AS n_bytes,
+               CAST(CASE k WHEN 1 THEN b.L WHEN 2 THEN 2 * b.L ELSE 0 END AS BIGINT) AS duration_ms,
                {fcols}
-        FROM b LEFT JOIN agg ON agg.media_id = b.media_id
-        GROUP BY b.media_id, b.L
+        FROM b
+        LEFT JOIN agg a ON a.media_id = b.media_id
+        LEFT JOIN aggv av ON av.media_id = b.media_id
+        GROUP BY b.media_id, b.k, b.L
     """
 
 

@@ -4,7 +4,8 @@ Replicates the observable behaviour of ``dateparser.parse`` (the reference's
 dependency, ``single_value.py:794-868``) for the locales and shapes the
 reference test-suite exercises — en/fr/es/pt month names, weekday prefixes,
 numeric M/D/Y, 12h/24h times (``tests/test_single_value.py:545-577``) —
-plus de/it month-name dates (scope widened one notch per round-1 review).
+plus de/it month-name dates (scope widened per round-1 review) and nl/sv
+(round 3).
 Full dateparser parity is explicitly out of scope (SURVEY.md §2.3 #13).
 
 Month/day-name tables are public CLDR vocabulary.
@@ -42,6 +43,10 @@ _MONTHS = {
     # it ("novembre" shared with fr above)
     "gennaio": 1, "febbraio": 2, "aprile": 4, "maggio": 5, "giugno": 6,
     "luglio": 7, "settembre": 9, "ottobre": 10, "dicembre": 12,
+    # nl ("juni"/"juli"/"oktober" shared with de; r03 widening)
+    "januari": 1, "februari": 2, "maart": 3, "mei": 5, "augustus": 8,
+    # sv ("mars" shared with fr, "januari"/"februari" with nl)
+    "maj": 5, "augusti": 8,
 }
 
 _WEEKDAYS = {
@@ -54,6 +59,9 @@ _WEEKDAYS = {
     "sonntag",
     "lunedi", "martedi", "mercoledi", "giovedi", "venerdi", "sabato",
     "domenica",
+    "maandag", "dinsdag", "woensdag", "donderdag", "vrijdag", "zaterdag",
+    "zondag",
+    "mandag", "tisdag", "onsdag", "torsdag", "fredag", "lordag", "sondag",
 }
 
 _FILLER = {"le", "la", "el", "a", "at", "on", "the", "de", "del", "em", "às", "as"}

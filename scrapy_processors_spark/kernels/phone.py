@@ -48,14 +48,23 @@ _CC_RULES = {
     "55": (10, 11),
     "7": (10, 10),
     "52": (10, 10),
+    "31": (9, 9),
+    "46": (7, 9),
 }
 
 _REGION_CC = {"US": "1", "CA": "1", "GB": "44", "FR": "33", "DE": "49",
               "ES": "34", "IT": "39", "JP": "81", "CN": "86", "IN": "91",
-              "AU": "61", "BR": "55", "RU": "7", "MX": "52"}
+              "AU": "61", "BR": "55", "RU": "7", "MX": "52", "NL": "31",
+              "SE": "46"}
+
+#: phonenumbers.Leniency subset: POSSIBLE (0) = length-only checks,
+#: VALID (1, the matcher default) = full pattern validation.  The stricter
+#: grouping leniencies (2, 3) fall back to VALID — documented subset.
+LENIENCY_POSSIBLE = 0
+LENIENCY_VALID = 1
 
 
-def _split_cc(digits: str) -> Optional[tuple]:
+def _split_cc(digits: str, possible: bool = False) -> Optional[tuple]:
     """Split an international digit string into (cc, national)."""
     for cc_len in (1, 2, 3):
         cc = digits[:cc_len]
@@ -63,18 +72,20 @@ def _split_cc(digits: str) -> Optional[tuple]:
             lo, hi = _CC_RULES[cc]
             national = digits[cc_len:]
             if lo <= len(national) <= hi:
-                if cc == "1" and not _NANP_RE.match(national):
+                if cc == "1" and not possible and not _NANP_RE.match(national):
                     continue
                 return cc, national
     return None
 
 
-def _validate(candidate: str, region: str) -> Optional[tuple]:
-    """Return (cc, national_digits) or None."""
+def _validate(candidate: str, region: str,
+              possible: bool = False) -> Optional[tuple]:
+    """Return (cc, national_digits) or None.  ``possible`` applies the
+    POSSIBLE leniency: length bounds only, no digit-pattern validation."""
     has_plus = candidate.lstrip().startswith("+")
     digits = re.sub(r"\D", "", candidate)
     if has_plus:
-        return _split_cc(digits)
+        return _split_cc(digits, possible)
     # National dialing in `region`
     cc = _REGION_CC.get(region)
     if cc is None:
@@ -82,7 +93,7 @@ def _validate(candidate: str, region: str) -> Optional[tuple]:
     if cc == "1":
         if len(digits) == 11 and digits.startswith("1"):
             digits = digits[1:]
-        if len(digits) == 10 and _NANP_RE.match(digits):
+        if len(digits) == 10 and (possible or _NANP_RE.match(digits)):
             return "1", digits
         return None
     if cc == "44":
@@ -132,16 +143,34 @@ def extract_phone_numbers(
 ) -> List[str]:
     """Find and format phone numbers in free text.
 
-    ``leniency``/``max_tries`` are accepted for interface parity with the
-    reference and ignored (scope note in module docstring).
+    ``leniency`` follows the phonenumbers Leniency subset: POSSIBLE (0)
+    validates length bounds only; VALID (1, default when None) applies the
+    full digit-pattern checks; stricter grouping levels fall back to VALID.
+    ``max_tries`` mirrors the PhoneNumberMatcher contract ("the maximum
+    number of invalid numbers to try before giving up on the text"): each
+    candidate that fails validation spends one try, valid matches are free,
+    and the scan stops once the budget is spent (0 = no scan at all).
     """
+    if leniency is None:
+        leniency_val = LENIENCY_VALID
+    elif isinstance(leniency, str):
+        leniency_val = {"POSSIBLE": 0, "VALID": 1, "STRICT_GROUPING": 2,
+                        "EXACT_GROUPING": 3}[leniency.upper()]
+    else:
+        leniency_val = int(leniency)
+    possible = leniency_val == LENIENCY_POSSIBLE
+    tries = int(max_tries)
     out: List[str] = []
     for m in _CANDIDATE_RE.finditer(text or ""):
+        if tries <= 0:
+            break
         cand = m.group(1)
         if sum(ch.isdigit() for ch in cand) < 7:
+            tries -= 1
             continue
-        v = _validate(cand, region)
+        v = _validate(cand, region, possible)
         if v is None:
+            tries -= 1
             continue
         out.append(_format(v[0], v[1], num_format))
     return out

@@ -194,6 +194,16 @@ class DateTimeExtraordinaire(Op):
     return_time: bool = False
     languages: Optional[list] = None
     base_tz: Any = pytz.UTC
+    # dateparser interface parity (reference :838-842).  Subset semantics:
+    # ``locales`` contribute their language prefixes to ``languages``;
+    # ``detect_languages_function`` is invoked like dateparser does (value,
+    # confidence_threshold) and its result merges into languages; ``region``
+    # and ``settings`` are accepted for signature parity but the from-scratch
+    # kernel has no behavior keyed on them (documented subset, SURVEY §2.3).
+    locales: Optional[list] = None
+    region: Optional[str] = None
+    settings: Optional[dict] = None
+    detect_languages_function: Optional[object] = None
 
     tier = "pandas"
 
@@ -206,8 +216,19 @@ class DateTimeExtraordinaire(Op):
         return T.TimestampType()
 
     def process_value(self, value: str):
-        output_tz, return_date, return_time, languages, base_tz = self.unpack_context()
+        (output_tz, return_date, return_time, languages, base_tz,
+         locales, _region, _settings, detect_fn) = self.unpack_context()
         output_tz, base_tz = _tz(output_tz), _tz(base_tz)
+        if locales or detect_fn is not None:
+            languages = list(languages or [])
+            for loc in locales or []:
+                lang = str(loc).split("-")[0]
+                if lang not in languages:
+                    languages.append(lang)
+            if callable(detect_fn):
+                for lang in detect_fn(value, 0.5) or []:
+                    if lang not in languages:
+                        languages.append(lang)
         dt = parse_fuzzy_datetime(value, languages)
         if dt is None:
             return None

@@ -128,3 +128,58 @@ def test_json_get_spark(spark):
     op = JsonGet("foo.bar")
     assert run_scalar(spark, op, [json.dumps({"foo": {"bar": "baz"}})]) == ["baz"]
     assert op.process_value(json.dumps({"foo": {"bar": "baz"}})) == "baz"
+
+
+def test_socials_default_domains_parity():
+    """Every default platform enumerated byte-for-byte against the reference
+    list (single_value.py:1163-1172) + a positive link per platform."""
+    assert Socials.domains == [
+        "facebook.com", "instagram.com", "twitter.com", "linkedin.com",
+        "youtube.com", "tiktok.com", "pinterest.com", "reddit.com",
+    ]
+    links = [f"https://www.{d}/acct" for d in Socials.domains]
+    got = Socials().process_value(_page(links + ["https://example.com/a"]))
+    assert got == {d: [f"https://www.{d}/acct"] for d in Socials.domains}
+
+
+def test_socials_lstrip_www_quirk():
+    """Reference `domain.lstrip('www.')` strips the CHARACTERS w/. — so a
+    user-supplied 'www.example.com' keys as 'example.com' (quirk preserved,
+    single_value.py:1188)."""
+    got = Socials(domains=["www.facebook.com"]).process_value(
+        _page(["https://facebook.com/x"]))
+    assert got == {"facebook.com": ["https://facebook.com/x"]}
+
+
+# ---------------------------------------------- PhoneNumbers r03 widening
+def test_phone_numbers_nl_se_regions():
+    assert PhoneNumbers(region="NL").process_value(
+        "bel 020 123 4567 nu") == ["+31201234567"]
+    assert PhoneNumbers(region="SE").process_value(
+        "ring 08-123 456 78") == ["+46812345678"]
+    # international form independent of region
+    assert PhoneNumbers().process_value("+31 20 123 4567") == ["+31201234567"]
+    assert PhoneNumbers().process_value("+46 8 123 456 78") == ["+46812345678"]
+
+
+def test_phone_numbers_leniency_possible():
+    # 123-456-7890 violates the NANP pattern (area code starts with 1):
+    # VALID (default) rejects it, POSSIBLE accepts on length alone
+    text = "call 123-456-7890"
+    assert PhoneNumbers().process_value(text) == []
+    assert PhoneNumbers(leniency=0).process_value(text) == ["+11234567890"]
+    assert PhoneNumbers(leniency="POSSIBLE").process_value(text) == ["+11234567890"]
+    # stricter grouping levels fall back to VALID
+    assert PhoneNumbers(leniency=3).process_value(text) == []
+
+
+def test_phone_numbers_max_tries_budget():
+    """phonenumbers contract: max_tries counts INVALID candidates; valid
+    matches are free; 0 disables the scan entirely."""
+    text = "x 123.456.7890 y 129.456.7890 z 816.360.3390"
+    assert PhoneNumbers(max_tries=2).process_value(text) == []
+    assert PhoneNumbers(max_tries=3).process_value(text) == ["+18163603390"]
+    valid = "a 816.360.3390 b 816.360.3391"
+    assert PhoneNumbers(max_tries=1).process_value(valid) == [
+        "+18163603390", "+18163603391"]
+    assert PhoneNumbers(max_tries=0).process_value(valid) == []

@@ -149,11 +149,30 @@ def test_multimodal_plumbing(docs):
     # deterministic: same input -> same features
     again = {r["media_id"]: r["features"] for r in multimodal.extract_features(media, fake=True).collect()}
     assert all(again[r["media_id"]] == r["features"] for r in rows)
+    # kind dispatch: doc_id % 3 cycles image/audio/video, metadata typed per kind
+    by_id = {r["media_id"]: r for r in rows}
+    for mid, r in by_id.items():
+        expect = ("image", "audio", "video")[mid % 3]
+        assert r["kind"] == expect
+        if expect == "image":
+            assert r["duration_ms"] == 0
+        elif expect == "audio":
+            assert r["duration_ms"] == r["n_bytes"]
+        else:
+            assert r["duration_ms"] == 2 * r["n_bytes"]
+    # the three decoders disagree on the same payload (distinct math)
+    buf = b"multimodal bytes 0123456789"
+    img = multimodal.decode_image(buf, fake=True)
+    aud = multimodal.decode_audio(buf, fake=True)
+    vid = multimodal.decode_video(buf, fake=True)
+    assert img != aud and img != vid and aud != vid
 
 
 def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"xx", fake=False)
+    for fn in (multimodal.decode_image, multimodal.decode_audio,
+               multimodal.decode_video):
+        with pytest.raises(NotImplementedError):
+            fn(b"xx", fake=False)
 
 
 def test_repetition_signals(spark):

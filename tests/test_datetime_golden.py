@@ -115,6 +115,11 @@ DTE_CASES = [
      datetime(2021, 3, 3, 20, 30, tzinfo=UTC)),
     ("giovedì 4 dicembre 2014, 10:55:50", {"languages": ["it"]},
      datetime(2014, 12, 4, 16, 55, 50, tzinfo=UTC)),
+    # nl/sv month-name dates (r03 widening)
+    ("woensdag 3 maart 2021, 14:30", {"languages": ["nl"]},
+     datetime(2021, 3, 3, 20, 30, tzinfo=UTC)),
+    ("fredag 14 augusti 2015, 10:00", {"languages": ["sv"]},
+     datetime(2015, 8, 14, 15, 0, tzinfo=UTC)),
 ]
 
 
@@ -128,3 +133,24 @@ def test_dte_spark(spark):
     op = DateTimeExtraordinaire(base_tz=CHI)
     got = run_scalar(spark, op, [c[0] for c in DTE_CASES])
     assert got == [c[2].replace(tzinfo=None) for c in DTE_CASES]
+
+
+def test_dte_dateparser_context_keys():
+    """locales/region/settings/detect_languages_function accepted with the
+    reference's dateparser signature (single_value.py:838-842); locales and
+    the detect function feed languages in the subset semantics."""
+    exp = datetime(2021, 3, 3, 20, 30, tzinfo=UTC)
+    op = DateTimeExtraordinaire(base_tz=CHI, locales=["nl-NL"])
+    assert op.process_value("woensdag 3 maart 2021, 14:30") == exp
+
+    calls = []
+
+    def detect(value, confidence):
+        calls.append((value, confidence))
+        return ["sv"]
+
+    op = DateTimeExtraordinaire(base_tz=CHI, detect_languages_function=detect,
+                                region="SE", settings={"PREFER_DAY_OF_MONTH": "first"})
+    assert op.process_value("fredag 14 augusti 2015, 10:00") == \
+        datetime(2015, 8, 14, 15, 0, tzinfo=UTC)
+    assert calls and calls[0][0] == "fredag 14 augusti 2015, 10:00"
