@@ -105,7 +105,7 @@ def q_gopher_quality(spark, sf_dir):
         "doc_id",
         sig["dup_word_frac"].alias("dup_word_frac"),
         sig["top_2gram_frac"].alias("top_2gram_frac"),
-        textstats.gopher_pass(F.col("text")).alias("keep"),
+        textstats.gopher_pass(signals=sig).alias("keep"),
     )
 
 

@@ -149,11 +149,14 @@ def repetition_signals(text: Column) -> dict:
     return {"dup_word_frac": dup_word_frac, "top_2gram_frac": top_2gram_frac}
 
 
-def gopher_pass(text: Column, max_dup_word_frac: float = 0.3,
-                max_top_2gram_frac: float = 0.18) -> Column:
+def gopher_pass(text: Column = None, max_dup_word_frac: float = 0.3,
+                max_top_2gram_frac: float = 0.18,
+                signals: dict = None) -> Column:
     """Boolean keep/drop verdict from the repetition signals with the
-    published Gopher-style thresholds as defaults."""
-    sig = repetition_signals(text)
+    published Gopher-style thresholds as defaults.  Pass ``signals`` (an
+    existing ``repetition_signals`` dict) when the caller also projects the
+    signal columns — otherwise the counts kernel would run twice per row."""
+    sig = signals if signals is not None else repetition_signals(text)
     return ((sig["dup_word_frac"] <= max_dup_word_frac)
             & (sig["top_2gram_frac"] <= max_top_2gram_frac))
 

@@ -107,12 +107,31 @@ def main():
         ("scan reads only doc_id,text", lambda p: "struct<doc_id:bigint,text:string>" in p),
     ])
 
-    # 9. gopher_quality: expression-only repetition signals — map-only
+    # 9. gopher_quality: ONE Arrow counts-kernel (linear Counter; the r02
+    # pure-Column form was O(distinct*n) interpreted) — still map-only
     gq = qs["gopher_quality"](spark, sf_dir)
-    add("gopher_quality (expression-only repetition filter)", gq, [
-        ("no Python eval nodes", lambda p: "Python" not in p),
+    add("gopher_quality (one counts kernel, map-only)", gq, [
+        ("exactly one ArrowEvalPython (shared by signals AND verdict)",
+         lambda p: len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1),
         ("no shuffle Exchange", lambda p: "Exchange" not in p),
         ("scan reads only doc_id,text", lambda p: "struct<doc_id:bigint,text:string>" in p),
+    ])
+
+    # 11. compose: builtin/reducer-only fold compiles to pure Columns
+    cp = qs["compose"](spark, sf_dir)
+    add("compose (SQL-tier fold)", cp, [
+        ("no Python eval nodes", lambda p: "Python" not in p),
+        ("whole-stage codegen spans present", lambda p: "codegen id" in p),
+        ("no shuffle Exchange", lambda p: "Exchange" not in p),
+    ])
+
+    # 12. lang_id: regexp_count passes (the r02 stopword fold was an
+    # interpreted higher-order lambda, ~13 ms/row)
+    li = qs["lang_id"](spark, sf_dir)
+    add("lang_id (codegen regexp passes)", li, [
+        ("no Python eval nodes", lambda p: "Python" not in p),
+        ("no shuffle Exchange", lambda p: "Exchange" not in p),
+        ("whole-stage codegen spans present", lambda p: "codegen id" in p),
     ])
 
     # 10. pii_scrub: regexp-only scrub — codegen over a pruned scan

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""10^7-shape frontier dry run (VERDICT r02 #9): one crawl round over ~10M
+synthetic URLs at local[4], recording per-phase wall, shuffle bytes (Spark
+REST API), and Bloom segment sizes — the measured base for BENCH.md's
+10^10 extrapolation.
+
+    python scripts/frontier_dryrun.py            # N=10_000_000
+    N=1000000 python scripts/frontier_dryrun.py  # smaller shapes
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def shuffle_totals(ui_port: int = 4040) -> dict:
+    """Sum shuffle/input bytes over all completed stages via the REST API."""
+    base = f"http://localhost:{ui_port}/api/v1/applications"
+    try:
+        apps = json.load(urllib.request.urlopen(base, timeout=10))
+        app_id = apps[0]["id"]
+        stages = json.load(urllib.request.urlopen(
+            f"{base}/{app_id}/stages?status=complete", timeout=30))
+    except Exception as e:  # noqa: BLE001
+        return {"error": str(e)}
+    return {
+        "n_stages": len(stages),
+        "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in stages),
+        "input_bytes": sum(s.get("inputBytes", 0) for s in stages),
+    }
+
+
+def main():
+    n_seeds = int(os.environ.get("N", "10000000"))
+    n_hosts = int(os.environ.get("H", "200000"))
+    cores = int(os.environ.get("C", "4"))
+    n_buckets = int(os.environ.get("B", "64"))
+
+    from scrapy_processors_spark.session import get_spark
+    from scrapy_processors_spark.frontier import graph
+    from scrapy_processors_spark.frontier.crawler import CrawlConfig, run_crawl
+
+    spark = get_spark(master=f"local[{cores}]", app_name="frontier-dryrun",
+                      shuffle_partitions=max(cores * 8, n_buckets),
+                      extra_conf={"spark.ui.enabled": "true"})
+    cfg = CrawlConfig(n_hosts=n_hosts, max_degree=2, max_rounds=1,
+                      n_buckets=n_buckets)
+
+    t0 = time.time()
+    seeds = graph.seed_urls(spark, n_seeds, n_hosts).repartition(cores * 8)
+    state = run_crawl(spark, cfg, seeds=seeds)
+    n_seen = state["seen"].count()
+    n_fetched = state["fetch_log"].count()
+    wall = time.time() - t0
+
+    bloom_stats = None
+    if state.get("bloom") is not None:
+        bloom_stats = state["bloom"].select(
+            F.count("*").alias("segments"),
+            F.sum(F.octet_length("bitmap")).alias("bitmap_bytes"),
+            F.max("m_bits").alias("m_bits"),
+        ).collect()[0].asDict()
+
+    out = {
+        "n_seeds": n_seeds,
+        "n_hosts": n_hosts,
+        "cores": cores,
+        "n_buckets": n_buckets,
+        "urls_seen": n_seen,
+        "urls_fetched": n_fetched,
+        "round_wall_s": round(wall, 1),
+        "urls_per_sec": round(n_seen / wall, 1),
+        "bloom": bloom_stats,
+        "shuffle": shuffle_totals(),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
