@@ -417,7 +417,17 @@ class Compose(Pipeline):
         if self._default is not None:
             c = F.coalesce(c, F.lit(self._default))
         out = F.when(col.isNull(), null_branch).otherwise(c)
-        return out.cast(output_type) if output_type is not None else out
+        # INVARIANT (ADVICE r03): stop_on_none is emulated by letting SQL
+        # nulls propagate through the compiled fold to this final when/
+        # coalesce — correct only while every op this compiler admits is
+        # null-propagating in to_column (no internal coalesce/when that
+        # maps null -> non-null).  tests/test_pipeline.py::
+        # test_sql_tier_ops_propagate_null enumerates the admitted op
+        # classes and asserts to_column(NULL) IS NULL for each.
+        # output_type=None matches the kernel path's StringType return
+        # (ADVICE r03: the result schema must not depend on which tier
+        # happened to compile).
+        return out.cast(output_type if output_type is not None else T.StringType())
 
     def run_python(self, values, **loader_context):
         me = self.with_context(**loader_context) if loader_context else self

@@ -89,6 +89,10 @@ def decode_video(buf: bytes, fake: bool = False) -> List[float]:
             "real video decode requires ffmpeg — not available in this "
             "container; pass fake=True for the deterministic stand-in"
         )
+    # None payload guard like the image/audio paths (ADVICE r03: buf[::2]
+    # on None raised TypeError and aborted the whole Spark stage)
+    if not buf:
+        return [0.0] * FEATURE_DIM
     return _fake_decode(buf[::2])
 
 

@@ -23,8 +23,17 @@ Group semantics implemented:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _wtrim(col: Column) -> Column:
+    """Full-whitespace trim (``F.trim`` strips 0x20 only, so a CRLF
+    robots.txt left ``'*\\r'`` as the agent value and every rule of a
+    ``User-agent: *\\r\\n`` group was silently dropped — ADVICE r03; the
+    Python ground truth ``str.strip()`` strips ``\\r``/``\\t`` too).  Java
+    ``\\s`` = ASCII whitespace, the subset real robots.txt bodies contain."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
 
 
 def parse_robots(raw: DataFrame, host_col: str = "host",
@@ -44,15 +53,15 @@ def parse_robots(raw: DataFrame, host_col: str = "host",
     # groups separated by Allow/Crawl-delay and over-blocked `*`).
     lines = lines.select(
         host_col, "pos",
-        F.trim(F.regexp_replace("line", "#.*$", "")).alias("clean"),
+        _wtrim(F.regexp_replace("line", "#.*$", "")).alias("clean"),
     ).where((F.col("clean") != "") & F.col("clean").contains(":"))
     ua_rx, dis_rx = r"(?i)^user-agent\s*:", r"(?i)^disallow\s*:"
     lines = lines.select(
         host_col, "pos",
         F.when(F.col("clean").rlike(ua_rx),
-               F.trim(F.regexp_replace("clean", ua_rx, ""))).alias("agent"),
+               _wtrim(F.regexp_replace("clean", ua_rx, ""))).alias("agent"),
         F.when(F.col("clean").rlike(dis_rx),
-               F.trim(F.regexp_replace("clean", dis_rx, ""))).alias("disallow"),
+               _wtrim(F.regexp_replace("clean", dis_rx, ""))).alias("disallow"),
     )
 
     w = Window.partitionBy(host_col).orderBy("pos")

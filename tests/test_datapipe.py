@@ -175,6 +175,27 @@ def test_decode_stub_raises():
             fn(b"xx", fake=False)
 
 
+def test_decode_none_payload(spark):
+    # ADVICE r03: decode_video(None) raised TypeError and killed the stage;
+    # every decoder must zero-fill on None/empty like the oracle's
+    # coalesce(octet_length, 0) model
+    zero = [0.0] * multimodal.FEATURE_DIM
+    for fn in (multimodal.decode_image, multimodal.decode_audio,
+               multimodal.decode_video):
+        assert fn(None, fake=True) == zero
+        assert fn(b"", fake=True) == zero
+    # end-to-end: a null-text doc of each kind flows through the stage
+    docs = spark.createDataFrame(
+        [(0, None), (1, None), (2, None), (3, "x")], "doc_id long, text string")
+    media = multimodal.media_from_documents(docs)
+    rows = {r["media_id"]: r for r in
+            multimodal.extract_features(media, fake=True).collect()}
+    assert len(rows) == 4
+    for mid in (0, 1, 2):
+        assert rows[mid]["features"] == zero
+        assert rows[mid]["n_bytes"] == 0
+
+
 def test_repetition_signals(spark):
     rows = [
         (0, "the quick brown fox jumps over the lazy dog"),   # mild repetition

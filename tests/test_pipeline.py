@@ -274,3 +274,63 @@ def test_compose_sql_tier_respects_compose_default(spark):
     assert "EvalPython" not in out._jdf.queryExecution().executedPlan().toString()
     got = {r["id"]: r["r"] for r in out.collect()}
     assert got[0] == "a" and got[1] == "empty"
+
+
+def test_sql_tier_ops_propagate_null(spark):
+    """ADVICE r03: Compose's SQL tier emulates stop_on_none by letting nulls
+    propagate through the compiled fold to the final when/coalesce.  That is
+    only sound while every op the compiler can admit is null-propagating:
+    ``to_column(NULL) IS NULL``.  Enumerate every sql-tier Op subclass (at
+    its default construction, the form the compiler admits) and assert it —
+    a future op with an internal coalesce/when trips this test, not a silent
+    run_python divergence."""
+    import importlib
+    import inspect
+
+    from scrapy_processors_spark.core.base import Op
+    from scrapy_processors_spark.operators.reducers import Reducer
+
+    mods = ["strings", "numeric", "datetime_ops", "contact", "misc",
+            "reducers", "url"]
+    # ops whose context has no usable default construction
+    ctor_kwargs = {"JsonGet": {"expression": "k"}, "GetAttr": {"attr": "f"}}
+    # ops reading a non-string scalar (null struct for field access)
+    input_col = {"GetAttr": "st"}
+    reducer_input_col = {"Flatten": "aa"}  # needs array<array<...>>
+    ops = []
+    for m in mods:
+        mod = importlib.import_module(f"scrapy_processors_spark.operators.{m}")
+        for cls in vars(mod).values():
+            if (inspect.isclass(cls) and issubclass(cls, Op)
+                    and cls.__module__ == mod.__name__
+                    and getattr(cls, "tier", None) == "sql"
+                    # abstract bases (Reducer) keep Op's kernel-delegating
+                    # to_column; the compiler only sees concrete subclasses
+                    and cls.to_column is not Op.to_column):
+                ops.append(cls(**ctor_kwargs.get(cls.__name__, {})))
+    assert len(ops) >= 15, [str(o) for o in ops]
+
+    df = spark.createDataFrame(
+        [(1,)], "id long").select(
+        "id",
+        F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("array<string>").alias("a"),
+        F.lit(None).cast("struct<f:string>").alias("st"),
+        F.lit(None).cast("array<array<string>>").alias("aa"))
+    checks = []
+    for op in ops:
+        if isinstance(op, Reducer):
+            own_default = op.context.get(
+                "default", getattr(type(op), "default", None))
+            if own_default is not None:
+                continue  # the compiler rejects these (pipeline.py:398-401)
+            rcol = F.col(reducer_input_col.get(type(op).__name__, "a"))
+            checks.append((type(op).__name__, op.to_column(rcol)))
+        else:
+            col = F.col(input_col.get(type(op).__name__, "s"))
+            checks.append((type(op).__name__, op.to_column(col)))
+    row = df.select(
+        *[c.isNull().alias(f"n{i}") for i, (_, c) in enumerate(checks)]
+    ).collect()[0]
+    bad = [name for i, (name, _) in enumerate(checks) if not row[f"n{i}"]]
+    assert not bad, f"sql-tier ops mapping NULL -> non-NULL: {bad}"

@@ -35,6 +35,11 @@ BODIES = {
     "crawl_delay_between": "User-agent: a\nCrawl-delay: 5\nUser-agent: *\nDisallow: /w\n",
     "sitemap_then_star": "Sitemap: http://x/s.xml\nUser-agent: *\nDisallow: /m\n",
     "space_before_colon": "User-agent : *\nDisallow : /s\n",
+    # ADVICE r03: CRLF line endings (the common case for real robots.txt) —
+    # F.trim strips 0x20 only, so '*\r' failed the `agent == "*"` match and
+    # the SQL tier silently returned [] while the Python tier parsed rules
+    "crlf": "User-agent: *\r\nDisallow: /c\r\nDisallow: /d\r\n",
+    "crlf_mixed_tabs": "User-agent:\t*\r\nDisallow:\t/t\r\n",
 }
 
 EXPECTED = {
@@ -51,6 +56,8 @@ EXPECTED = {
     "crawl_delay_between": ["/w"],
     "sitemap_then_star": ["/m"],
     "space_before_colon": ["/s"],
+    "crlf": ["/c", "/d"],
+    "crlf_mixed_tabs": ["/t"],
 }
 
 
