@@ -12,6 +12,7 @@ from __future__ import annotations
 import re
 from collections import Counter
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column
@@ -174,12 +175,68 @@ def pii_scrub(text: Column) -> Column:
     return F.regexp_replace(no_email, PHONE_PATTERN, "<PHONE>")
 
 
-def fingerprint(text: Column) -> Column:
+def fingerprint_fold(text: Column) -> Column:
     """Rolling polynomial hash over characters mod 1e9+7 (order-sensitive
-    document fingerprint; bigint-safe: acc*31+c < 2^63)."""
+    document fingerprint; bigint-safe: acc*31+c < 2^63).
+
+    SEMANTIC SPEC ONLY: higher-order array lambdas are CodegenFallback —
+    interpreted per element, ~4,800 elements on a long-form page (the exact
+    anti-pattern measured at ~13 ms/row in the old lang_id, BENCH.md §5).
+    Hot paths use ``fingerprint`` (the Arrow kernel); equivalence is
+    enforced by tests/test_datapipe.py::test_fingerprint_kernel_matches_fold.
+    """
     chars = F.split(text, "")
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + F.coalesce(F.ascii(c), F.lit(0))) % MOD,
     )
+
+
+# 31^k mod MOD table, grown on demand and shared across batches (max doc
+# length bounds it; growth is amortized-once per worker).
+_POW31 = np.array([1], dtype=np.int64)
+
+
+def _pow31_upto(n: int) -> np.ndarray:
+    global _POW31
+    if len(_POW31) < n:
+        m = len(_POW31)
+        ext = np.empty(n, dtype=np.int64)
+        ext[:m] = _POW31
+        for i in range(m, n):
+            ext[i] = ext[i - 1] * 31 % MOD
+        _POW31 = ext
+    return _POW31
+
+
+def _fingerprint_py(text: str) -> int:
+    """Vectorized replica of the ``fingerprint_fold`` Horner recurrence via
+    the closed form sum(code_i * 31^(n-1-i)) mod MOD.  UTF-32 decode gives
+    one element per code point — identical to Spark's split-by-'' (Java
+    regex splits between code points, keeping surrogate pairs whole) +
+    ``ascii`` (code point of the char).  Overflow-safe in int64: code <
+    2^21, pow < 2^30 -> products < 2^51; each term is reduced mod MOD
+    before the sum, so the running sum stays < n * 2^30."""
+    n = len(text)
+    if n == 0:
+        return 0
+    codes = np.frombuffer(
+        text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    pw = _pow31_upto(n)[:n][::-1]
+    return int((codes * pw % MOD).sum() % MOD)
+
+
+@F.pandas_udf(T.LongType())
+def fingerprint_kernel(s: "pd.Series") -> "pd.Series":
+    """Arrow-batched polynomial fingerprint, value-identical to
+    ``fingerprint_fold`` (VERDICT r03 #3: the per-character interpreted
+    fold was the last CodegenFallback scale-killer in the hot path)."""
+    return s.map(lambda v: None if v is None else _fingerprint_py(v))
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint (rolling 31-polynomial hash mod
+    1e9+7) — dispatches to the Arrow kernel; ``fingerprint_fold`` remains
+    the pure-Column semantic spec."""
+    return fingerprint_kernel(text)
