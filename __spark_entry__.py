@@ -232,16 +232,6 @@ def q_datetime_extraordinaire(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_take_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TakeAll/Identity passthrough (reference multi_values.py:60-102)."""
-    from scrapy_processors_spark import Join, TakeAll
-
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", Join("|")(TakeAll()(F.split("text", " "))).alias("all_words")
-    )
-
-
 def q_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scrapy_processors_spark import Emails
 
@@ -351,12 +341,19 @@ def q_take_first_truthy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_take_all_truthy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scrapy_processors_spark import Join, TakeAllTruthy
+    """TakeAllTruthy falsey-drop + TakeAll/Identity passthrough (reference
+    multi_values.py:60-102,105-140) in one driver row — the driver records
+    at most 50 queries, so single-reducer rows whose operator is covered
+    elsewhere are folded together (round-4 finding: CORRECTNESS_r0{2,3}
+    recorded exactly the first 50 registered queries)."""
+    from scrapy_processors_spark import Join, TakeAll, TakeAllTruthy
 
     docs = _t(spark, sf_dir, "documents")
     gappy = F.split(F.regexp_replace("text", " ", "  "), " ")  # words + '' gaps
     kept = TakeAllTruthy()(gappy)
-    return docs.select("doc_id", Join(" ")(kept).alias("rejoined"))
+    return docs.select(
+        "doc_id", Join(" ")(kept).alias("rejoined"),
+        Join("|")(TakeAll()(F.split("text", " "))).alias("all_words"))
 
 
 def q_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,13 +365,6 @@ def q_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("fallback"),
     )
     return ev.select("event_id", Coalesce()(arr).alias("first_non_null"))
-
-
-def q_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scrapy_processors_spark import Join
-
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", Join("-")(F.split("text", " ")).alias("joined"))
 
 
 def q_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,7 +400,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_float": q_to_float,
         "datetime": q_datetime,
         "datetime_extraordinaire": q_datetime_extraordinaire,
-        "take_all": q_take_all,
         "date": q_date,
         "time": q_time,
         "emails": q_emails,
@@ -425,7 +414,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "take_first_truthy": q_take_first_truthy,
         "take_all_truthy": q_take_all_truthy,
         "coalesce": q_coalesce,
-        "join": q_join,
         "flatten": q_flatten,
     }
     try:  # extended layers (datapipe / frontier) register their own queries
@@ -519,9 +507,6 @@ def oracle_sql() -> dict[str, str]:
                        '%Y-%m-%d %H:%M:%S') AS utc_ts
             FROM events
         """,
-        "take_all": """
-            SELECT doc_id, replace(text, ' ', '|') AS all_words FROM documents
-        """,
         "date": """
             SELECT event_id, CAST(ts AS DATE) AS d FROM events
         """,
@@ -565,15 +550,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "take_all_truthy": """
-            SELECT doc_id, text AS rejoined FROM documents
+            SELECT doc_id, text AS rejoined,
+                   replace(text, ' ', '|') AS all_words
+            FROM documents
         """,
         "coalesce": """
             SELECT event_id,
                    CASE WHEN value > 100 THEN event_type ELSE 'fallback' END AS first_non_null
             FROM events
-        """,
-        "join": """
-            SELECT doc_id, replace(text, ' ', '-') AS joined FROM documents
         """,
         "flatten": """
             SELECT doc_id, text || ' ' || lang AS flat FROM documents

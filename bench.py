@@ -112,19 +112,26 @@ def extract_pipeline(pages, cores: int):
 
     from scrapy_processors_spark import RemoveHTMLTags, clean_string
     from scrapy_processors_spark.datapipe import dedup, textstats
+    from scrapy_processors_spark.frontier import graph
 
-    words = F.concat_ws(" ", F.transform(
-        F.sequence(F.lit(1), F.lit(EXTRACT["words_per_page"])),
-        lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64("url", i), F.lit(1000)).cast("string")),
-    ))
+    # r04: page bodies come from the Arrow kernel, not the 800-element
+    # transform(sequence(...)) expression — higher-order lambdas are
+    # CodegenFallback and the interpreted eval path ANTI-SCALES under
+    # concurrency (ablation: 16.5 s at 1 slot -> 65 s total at 4 slots,
+    # starving the python workers of every other stage; BENCH.md §7).
+    html = graph.page_html_kernel(EXTRACT["words_per_page"])
     pages = pages.repartition(cores).select(
-        "url", F.concat(F.lit('  "<p>'), words, F.lit(' !</p>  ')).alias("html"))
+        "url", html(F.col("url")).alias("html"))
     text = clean_string.apply_scalar(RemoveHTMLTags()(F.col("html")))
     pages = pages.select("url", text.alias("text"), "html")
     # signatures restored (VERDICT r02 #3): the Arrow kernel variants
     # compile in ms — the r02 expression-fold tree cost ~30-40 s of
-    # driver-serial codegen, which is why signatures were dropped then
-    mh = dedup.minhash_kernel(num_hashes=4, shingle_n=2)
+    # driver-serial codegen, which is why signatures were dropped then.
+    # r04: LANES family (one md5 -> four 32-bit hash lanes, numpy min) —
+    # the md5#seed kernel's 4-md5-per-shingle hot loop was the last
+    # non-scaling term in the 1v4 ablation (BENCH.md §7); lanes is
+    # value-equivalence-tested against its Column spec like every kernel
+    mh = dedup.minhash_lanes_kernel(num_hashes=4, shingle_n=2)
     return pages.select(
         "url",
         "text",
@@ -237,7 +244,17 @@ def crawl_run_subprocess(cores: int, timeout_s: float | None = None,
     ``spark.stop()`` + ``getOrCreate()`` reuses the py4j gateway JVM, so
     block-manager/GC debris accumulates across runs and skews later
     measurements (observed 27 GB resident after 4 runs).  A subprocess is
-    the only real isolation."""
+    the only real isolation.
+
+    r04: the process tree is CPU-PINNED (``taskset -c 0..cores-1``).
+    ``local[cores]`` pins TASK SLOTS, not CPUs — the python workers are
+    separate processes that overlap with the JVM task thread, so an
+    unpinned "1-slot" run was measured consuming ~1.5+ cores (python
+    kernel batch N concurrent with JVM expressions over batch N-1),
+    silently inflating the scaling denominator.  OS affinity is the
+    airtight N-vs-4N-cores semantics the north rule asks for; it also
+    bounds GC/background-thread spillover."""
+    import shutil as _shutil
     import subprocess
 
     if timeout_s is None:
@@ -245,8 +262,12 @@ def crawl_run_subprocess(cores: int, timeout_s: float | None = None,
     env = dict(os.environ)
     if extra_env:
         env.update({k: str(v) for k, v in extra_env.items()})
+    argv = [sys.executable, os.path.abspath(__file__), "--crawl-run", str(cores)]
+    if (os.environ.get("SPARK_GRAFT_BENCH_PIN", "1") == "1"
+            and _shutil.which("taskset")):
+        argv = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] + argv
     r = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--crawl-run", str(cores)],
+        argv,
         capture_output=True, text=True, timeout=timeout_s, env=env,
     )
     line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
@@ -294,7 +315,11 @@ def main():
         # wall via env; a hi subprocess whose mini scaling is hopeless
         # aborts here (~60 s spent) instead of burning a 300-600 s run in
         # a starved era the raw-CPU probes cannot see.
-        mini_n = _env_int("SPARK_GRAFT_MINI_PAGES", 1500)
+        # 2500 pages (r04, was 1500): at 4 slots the probe wall is ~6-10 s —
+        # small enough to stay cheap, large enough that task-dispatch jitter
+        # stops producing false "starved era" aborts (r03 driver log:
+        # mini_eff 0.441 abort in an era whose brackets then passed)
+        mini_n = _env_int("SPARK_GRAFT_MINI_PAGES", 2500)
         mini_extract_probe(s, cores, max(mini_n // 4, 64))  # probe warmup
         mini_wall = mini_extract_probe(s, cores, mini_n)
         mini_lo = os.environ.get("SPARK_GRAFT_MINI_LO_S")
@@ -364,8 +389,12 @@ def main():
     # is what the hi-side variance actually needs.
     target = float(os.environ.get("SPARK_GRAFT_BENCH_TARGET", "0.8"))
     gate = float(os.environ.get("SPARK_GRAFT_BENCH_GATE", "0.75"))
-    max_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "8"))
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2700"))
+    max_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    # r04: sized so the whole bench (queries + lo refs + gated hi attempts)
+    # finishes inside the driver's own overall timeout even on a 3-5x
+    # starved host — BENCH_r03 was rc=124 because the protocol could burn
+    # >1 h before printing its summary line
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2200"))
 
     pairs = []
     era_history = []
@@ -389,7 +418,7 @@ def main():
     lo_runs = []
     lo_bracket = None
     lo_tries = 0
-    while len(lo_runs) < 2 and lo_tries < 4 and time.time() - pairs_t0 < budget_s * 0.6:
+    while len(lo_runs) < 2 and lo_tries < 4 and time.time() - pairs_t0 < budget_s * 0.55:
         lo_tries += 1
         c0 = probe("lo_pre")
         if c0["hw_ceiling"] < gate:
@@ -397,9 +426,15 @@ def main():
             time.sleep(30)
             continue
         try:
+            # cap each lo attempt at the REMAINING phase-1 budget (+grace):
+            # one stuck attempt must not eat the whole bench (r03: a single
+            # 1600 s lo timeout left no time for anything else and the
+            # driver killed the bench before it printed)
+            phase1_left = budget_s * 0.55 - (time.time() - pairs_t0)
             r = crawl_run_subprocess(
-                lo_cores, timeout_s=float(os.environ.get(
-                    "SPARK_GRAFT_BENCH_LO_TIMEOUT_S", "1600")))
+                lo_cores, timeout_s=min(
+                    float(os.environ.get("SPARK_GRAFT_BENCH_LO_TIMEOUT_S", "1600")),
+                    max(phase1_left + 120.0, 300.0)))
         except Exception as e:
             print(f"warn: lo run failed: {e}", file=sys.stderr)
             continue

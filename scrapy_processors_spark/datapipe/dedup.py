@@ -21,6 +21,7 @@ no RNG anywhere.
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import List
 
 import pandas as pd
@@ -250,8 +251,11 @@ def minhash_kernel(num_hashes: int = 4, shingle_n: int = 2):
         # lookups thrash the shared L3 when several workers run — measured
         # ANTI-scaling (extract ratio 1.3 at 4 slots).  65k entries keep the
         # hot Zipf head resident in ~10 MB and misses just pay the md5.
+        # 0 disables the cache entirely (uniform/high-entropy vocabularies
+        # get ~no hits, so the dict is pure overhead there); env-tunable
+        # for workload shape.
         cache: dict = {}
-        cache_cap = 65536
+        cache_cap = int(os.environ.get("SPARK_GRAFT_MINHASH_CACHE", "65536"))
 
         def one(text):
             if text is None:
@@ -271,6 +275,59 @@ def minhash_kernel(num_hashes: int = 4, shingle_n: int = 2):
                         if ds[j] < mins[j]:
                             mins[j] = ds[j]
             return [m.hex() for m in mins]
+
+        return s.map(one)
+
+    return kernel
+
+
+def minhash_lanes_column(shingles: Column, lane: int, group: int = 0) -> Column:
+    """Semantic spec of the LANES minhash family: hash function ``4*group +
+    lane`` is the 8-hex span ``[8*lane, 8*lane+8)`` of ``md5(shingle)``
+    (group 0) or ``md5(shingle || '#group')`` (groups >= 1) — four
+    independent 32-bit hash functions per md5 digest, the standard
+    multiple-lanes-from-one-hash construction.  Lexicographic min on the
+    hex span == numeric min on those 32 digest bits.  DuckDB-expressible
+    as ``list_min(list_transform(shingles, s -> substr(md5(s), 1+8*lane,
+    8)))`` — same engine-portable determinism as ``minhash_column``."""
+    suffix = F.lit("") if group == 0 else F.lit(f"#{group}")
+    return F.array_min(F.transform(
+        shingles,
+        lambda s: F.substring(F.md5(F.concat(s, suffix)), 1 + 8 * lane, 8)))
+
+
+def minhash_lanes_kernel(num_hashes: int = 4, shingle_n: int = 2):
+    """Arrow kernel for the lanes family — ONE md5 per shingle per GROUP of
+    four hash functions (vs one per shingle per function in
+    ``minhash_kernel``), with the per-lane minima reduced in numpy.
+
+    This is the bench/scale path: the md5#seed family costs ``num_hashes``
+    md5 calls per shingle (~2.3 ms/page at 800 words, and the md5+dict hot
+    loop was the last non-scaling term in the 1v4 extract ablation,
+    BENCH.md §7); lanes cost ``ceil(num_hashes/4)`` md5 calls plus a
+    vectorized column-min (~0.7 ms/page, scales with task slots).  Value-
+    identical to ``minhash_lanes_column`` per lane
+    (tests/test_datapipe.py::test_minhash_lanes_kernel_matches_expr);
+    big-endian uint32 min == byte-lexicographic min == hex min."""
+    groups = (num_hashes + 3) // 4
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def kernel(s: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        suffixes = [b"" if g == 0 else f"#{g}".encode("utf-8")
+                    for g in range(groups)]
+
+        def one(text):
+            if text is None:
+                return None
+            shingles = [sh.encode("utf-8") for sh in _shingles_py(text, shingle_n)]
+            out = []
+            for suf in suffixes:
+                digs = np.frombuffer(
+                    b"".join(md5(e + suf).digest() for e in shingles),
+                    dtype=">u4").reshape(-1, 4)
+                out.extend(format(int(m), "08x") for m in digs.min(axis=0))
+            return out[:num_hashes]
 
         return s.map(one)
 

@@ -31,6 +31,26 @@ BLOOM_SCHEMA = T.StructType([
 ])
 
 
+def auto_m_bits(expected_urls: int, n_buckets: int, bits_per_url: int = 10,
+                floor: int = 1 << 20, ceiling: int = 1 << 24) -> int:
+    """Per-bucket bitmap size from the expected URL volume.
+
+    The 10^7-seed dry run (BENCH.md) measured 0.6 bit-load segments at the
+    fixed 2^20 default — FPR degrades and the exact anti-join backstop ends
+    up doing the work the filter should.  ~10 bits/element keeps a k=5
+    filter near 1% FPR; the result is rounded up to a power of two and
+    clamped to [2^20, 2^24] (the dry run's recommended ceiling: a 2^24
+    bitmap is 2 MiB/bucket — 128 MiB across 64 buckets, well inside an
+    executor, and beyond it the backstop anti-join is cheaper than the
+    bitmap shuffle)."""
+    per_bucket = max(1, int(expected_urls) // max(1, n_buckets))
+    want = per_bucket * bits_per_url
+    m = floor
+    while m < want and m < ceiling:
+        m <<= 1
+    return m
+
+
 def _indexes(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
     """(n, k) bit positions via double hashing of the 64-bit url hash."""
     h = hashes.astype(np.uint64)

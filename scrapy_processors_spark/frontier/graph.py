@@ -11,8 +11,14 @@ canonicalization (FIXTURES.md §5).
 
 from __future__ import annotations
 
+import zlib
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _u01(col: Column) -> Column:
@@ -28,7 +34,18 @@ def child_host(url: Column, i: Column, n_hosts: int) -> Column:
 
 
 def outlinks(url: Column, max_degree: int = 8, n_hosts: int = 1000) -> Column:
-    """array<string> of raw (pre-canonicalization) child URLs."""
+    """array<string> of raw (pre-canonicalization) child URLs.
+
+    Formulated as ``slice(array(mk(1)..mk(max_degree)), 1, deg)`` — value-
+    identical to the previous ``transform(sequence(1, deg), mk)`` but with
+    literal child indexes, so the whole tree stays inside whole-stage
+    codegen.  Higher-order array lambdas are CodegenFallback (interpreted),
+    and the interpreted eval path anti-scales under concurrency: the round-4
+    ablation measured the sibling 800-element transform at 16.5 s on one
+    task slot but 65 s TOTAL on four (lock contention in the interpreted
+    path starves every other stage of the job, BENCH.md §7).  The eager
+    per-degree evaluation costs ``max_degree - deg`` wasted flat expressions
+    per row — codegen'd, orders of magnitude cheaper than interpretation."""
     deg_u = _u01(F.xxhash64(url, F.lit("degree")))
     deg = (F.floor(deg_u * deg_u * max_degree) + 1).cast("int")
 
@@ -46,7 +63,44 @@ def outlinks(url: Column, max_degree: int = 8, n_hosts: int = 1000) -> Column:
             .otherwise(base)
         )
 
-    return F.transform(F.sequence(F.lit(1), deg), mk)
+    all_children = F.array(*[mk(F.lit(i).cast("int"))
+                             for i in range(1, max_degree + 1)])
+    return F.slice(all_children, 1, deg)
+
+
+def page_html_kernel(words_per_page: int = 800, vocab: int = 1000):
+    """Factory: Arrow kernel generating the deterministic synthetic page
+    body for a url — ``'  "<p>w## w## ... !</p>  '`` with uniform
+    pseudo-random word ids (murmur3-finalizer mix of crc32(url) and the
+    word index, vectorized in numpy).
+
+    This replaces the bench's 800-element ``transform(sequence(...))``
+    expression: higher-order lambdas are CodegenFallback, and the round-4
+    ablation measured that interpreted tree at 16.5 s on ONE task slot but
+    65 s total on four — interpreted-eval lock contention that also starved
+    every python worker sharing the machine (BENCH.md §7).  The kernel is
+    ~2x faster single-threaded and scales with task slots.  Same
+    statistical shape as the old expression: ~``vocab`` distinct words,
+    independent-ish draws per position (so shingle diversity for the
+    minhash stage is preserved)."""
+    word_list = np.array([f"w{i}" for i in range(vocab)])
+
+    @F.pandas_udf(T.StringType())
+    def kern(urls: "pd.Series") -> "pd.Series":
+        idx = np.arange(1, words_per_page + 1, dtype=np.uint64)
+        mixer = idx * np.uint64(0x9E3779B97F4A7C15)
+
+        def one(u: str) -> str:
+            x = np.uint64(zlib.crc32(u.encode("utf-8"))) ^ mixer
+            x ^= x >> np.uint64(33)
+            x *= np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(33)
+            words = word_list[(x % np.uint64(vocab)).astype(np.int64)]
+            return '  "<p>' + " ".join(words) + ' !</p>  '
+
+        return urls.map(one)
+
+    return kern
 
 
 def seed_urls(spark: SparkSession, n_seeds: int = 100, n_hosts: int = 1000) -> DataFrame:

@@ -4,8 +4,8 @@ Replicates the observable behaviour of ``dateparser.parse`` (the reference's
 dependency, ``single_value.py:794-868``) for the locales and shapes the
 reference test-suite exercises — en/fr/es/pt month names, weekday prefixes,
 numeric M/D/Y, 12h/24h times (``tests/test_single_value.py:545-577``) —
-plus de/it month-name dates (scope widened per round-1 review) and nl/sv
-(round 3).
+plus de/it month-name dates (scope widened per round-1 review), nl/sv
+(round 3), and ja numeric-unit dates + pl/tr month names (round 4).
 Full dateparser parity is explicitly out of scope (SURVEY.md §2.3 #13).
 
 Month/day-name tables are public CLDR vocabulary.
@@ -47,6 +47,18 @@ _MONTHS = {
     "januari": 1, "februari": 2, "maart": 3, "mei": 5, "augustus": 8,
     # sv ("mars" shared with fr, "januari"/"februari" with nl)
     "maj": 5, "augusti": 8,
+    # pl (r04 widening) — genitive (the form dates use: "5 marca 2024") +
+    # nominative; accent-folded (ż->z, ś->s, ą->a, ę->e, ó->o; ł has no
+    # combining decomposition so it survives the fold)
+    "stycznia": 1, "styczen": 1, "lutego": 2, "luty": 2, "marca": 3,
+    "marzec": 3, "kwietnia": 4, "kwiecien": 4, "maja": 5, "czerwca": 6,
+    "czerwiec": 6, "lipca": 7, "lipiec": 7, "sierpnia": 8, "sierpien": 8,
+    "wrzesnia": 9, "wrzesien": 9, "pazdziernika": 10, "pazdziernik": 10,
+    "listopada": 11, "listopad": 11, "grudnia": 12, "grudzien": 12,
+    # tr (r04) — folded (ş->s, ğ->g, ü->u); dotless ı does not decompose
+    "ocak": 1, "subat": 2, "mart": 3, "nisan": 4, "mayıs": 5, "mayis": 5,
+    "haziran": 6, "temmuz": 7, "agustos": 8, "eylul": 9, "ekim": 10,
+    "kasım": 11, "kasim": 11, "aralık": 12, "aralik": 12,
 }
 
 _WEEKDAYS = {
@@ -62,6 +74,10 @@ _WEEKDAYS = {
     "maandag", "dinsdag", "woensdag", "donderdag", "vrijdag", "zaterdag",
     "zondag",
     "mandag", "tisdag", "onsdag", "torsdag", "fredag", "lordag", "sondag",
+    "poniedziałek", "wtorek", "sroda", "czwartek", "piatek", "sobota",
+    "niedziela",
+    "pazartesi", "salı", "sali", "carsamba", "persembe", "cuma", "cumartesi",
+    "pazar",
 }
 
 _FILLER = {"le", "la", "el", "a", "at", "on", "the", "de", "del", "em", "às", "as"}
@@ -69,6 +85,13 @@ _FILLER = {"le", "la", "el", "a", "at", "on", "the", "de", "del", "em", "às", "
 _TIME_RE = re.compile(r"\b(\d{1,2})[:h](\d{2})(?::(\d{2}))?\s*(am|pm|a\.m\.|p\.m\.)?\b",
                       re.IGNORECASE)
 _APM_RE = re.compile(r"\b(am|pm)\b", re.IGNORECASE)
+
+# ja numeric-unit date/time: 2024年3月5日 [14時30分[15秒]] (dateparser's
+# ja locale parses unit-suffixed numerals; the 令和/era calendar is out of
+# the declared subset)
+_JA_RE = re.compile(
+    r"(\d{4})年\s*(\d{1,2})月\s*(\d{1,2})日"
+    r"(?:\s*(\d{1,2})時(?:\s*(\d{1,2})分)?(?:\s*(\d{1,2})秒)?)?")
 
 
 def _fold(s: str) -> str:
@@ -86,6 +109,15 @@ def parse_fuzzy_datetime(value: str, languages: Optional[List[str]] = None) -> O
     if not value:
         return None
     s = _fold(value).lower()
+
+    jm = _JA_RE.search(s)
+    if jm:
+        try:
+            return datetime(int(jm.group(1)), int(jm.group(2)),
+                            int(jm.group(3)), int(jm.group(4) or 0),
+                            int(jm.group(5) or 0), int(jm.group(6) or 0))
+        except ValueError:
+            return None
 
     hour = minute = second = 0
     m = _TIME_RE.search(s)

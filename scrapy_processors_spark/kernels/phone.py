@@ -50,12 +50,17 @@ _CC_RULES = {
     "52": (10, 10),
     "31": (9, 9),
     "46": (7, 9),
+    # r04 widening (VERDICT r03 #7)
+    "48": (9, 9),
+    "90": (10, 10),
+    "41": (9, 9),
+    "32": (8, 9),
 }
 
 _REGION_CC = {"US": "1", "CA": "1", "GB": "44", "FR": "33", "DE": "49",
               "ES": "34", "IT": "39", "JP": "81", "CN": "86", "IN": "91",
               "AU": "61", "BR": "55", "RU": "7", "MX": "52", "NL": "31",
-              "SE": "46"}
+              "SE": "46", "PL": "48", "TR": "90", "CH": "41", "BE": "32"}
 
 #: phonenumbers.Leniency subset: POSSIBLE (0) = length-only checks,
 #: VALID (1, the matcher default) = full pattern validation.  The stricter

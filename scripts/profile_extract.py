@@ -57,13 +57,11 @@ def stage_pipeline(pages, cores: int, stage: str):
     from bench import EXTRACT
     from scrapy_processors_spark import RemoveHTMLTags, clean_string
     from scrapy_processors_spark.datapipe import dedup, textstats
+    from scrapy_processors_spark.frontier import graph
 
-    words = F.concat_ws(" ", F.transform(
-        F.sequence(F.lit(1), F.lit(EXTRACT["words_per_page"])),
-        lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64("url", i), F.lit(1000)).cast("string")),
-    ))
+    html = graph.page_html_kernel(EXTRACT["words_per_page"])
     pages = pages.repartition(cores).select(
-        "url", F.concat(F.lit('  "<p>'), words, F.lit(' !</p>  ')).alias("html"))
+        "url", html(F.col("url")).alias("html"))
     if stage == "htmlgen":
         return pages.select("url", F.length("html").alias("n"))
     text = clean_string.apply_scalar(RemoveHTMLTags()(F.col("html")))
@@ -78,7 +76,7 @@ def stage_pipeline(pages, cores: int, stage: str):
     if stage in ("full", "no_minhash"):
         cols.append(dedup.simhash16_kernel(F.col("text")).alias("simhash"))
     if stage == "full":
-        mh = dedup.minhash_kernel(num_hashes=4, shingle_n=2)
+        mh = dedup.minhash_lanes_kernel(num_hashes=4, shingle_n=2)
         cols.append(mh(F.col("text")).alias("minhash"))
     return pages.select(*cols)
 

@@ -183,3 +183,22 @@ def test_phone_numbers_max_tries_budget():
     assert PhoneNumbers(max_tries=1).process_value(valid) == [
         "+18163603390", "+18163603391"]
     assert PhoneNumbers(max_tries=0).process_value(valid) == []
+
+
+# ---------------------------------------------- PhoneNumbers r04 widening
+def test_phone_numbers_pl_tr_ch_be_regions():
+    # VERDICT r03 #7: four more region tables (reference delegates to
+    # libphonenumber, single_value.py:1070-1127; length-rule subset here)
+    assert PhoneNumbers(region="PL").process_value(
+        "tel. 601 234 567") == ["+48601234567"]
+    assert PhoneNumbers(region="TR").process_value(
+        "ara: 0212 345 67 89") == ["+902123456789"]
+    assert PhoneNumbers(region="CH").process_value(
+        "Tel: 044 668 18 00") == ["+41446681800"]
+    assert PhoneNumbers(region="BE").process_value(
+        "bel 02 552 82 11") == ["+3225528211"]
+    # +CC international forms need no region
+    assert PhoneNumbers().process_value("+48 601 234 567") == ["+48601234567"]
+    assert PhoneNumbers().process_value("+90 212 345 67 89") == ["+902123456789"]
+    assert PhoneNumbers().process_value("+41 44 668 18 00") == ["+41446681800"]
+    assert PhoneNumbers().process_value("+32 2 552 82 11") == ["+3225528211"]

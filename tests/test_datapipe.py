@@ -257,3 +257,27 @@ def test_fingerprint_kernel_matches_fold(spark):
     plan = df.select(textstats.fingerprint(F.col("t")).alias("fp")) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
+
+
+def test_minhash_lanes_kernel_matches_expr(spark):
+    """r04: the lanes family (one md5 -> four 32-bit lanes) must be value-
+    identical between the Arrow kernel and its Column spec, across short/
+    long/empty/null docs and at widths needing multiple digest groups."""
+    rows = [(0, "the quick brown fox jumps over the lazy dog"),
+            (1, "a"), (2, ""), (3, None),
+            (4, "w1 w2 w3 " * 300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for num_hashes in (4, 6):
+        k = dedup.minhash_lanes_kernel(num_hashes=num_hashes, shingle_n=2)
+        sh = dedup.word_shingles(F.col("text"), 2)
+        expr_cols = [
+            dedup.minhash_lanes_column(sh, lane=i % 4, group=i // 4).alias(f"e{i}")
+            for i in range(num_hashes)]
+        out = df.select("doc_id", k(F.col("text")).alias("kern"), *expr_cols).collect()
+        for r in out:
+            if r["kern"] is None:
+                assert rows[r["doc_id"]][1] is None
+                continue
+            assert len(r["kern"]) == num_hashes
+            for i in range(num_hashes):
+                assert r["kern"][i] == r[f"e{i}"], (r["doc_id"], num_hashes, i)

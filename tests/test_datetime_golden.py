@@ -120,6 +120,19 @@ DTE_CASES = [
      datetime(2021, 3, 3, 20, 30, tzinfo=UTC)),
     ("fredag 14 augusti 2015, 10:00", {"languages": ["sv"]},
      datetime(2015, 8, 14, 15, 0, tzinfo=UTC)),
+    # ja numeric-unit dates + pl/tr month names (r04 widening; VERDICT r03 #6)
+    ("2024年3月5日", {"languages": ["ja"]},
+     datetime(2024, 3, 5, 6, 0, tzinfo=UTC)),
+    ("2024年3月5日 14時30分15秒", {"languages": ["ja"]},
+     datetime(2024, 3, 5, 20, 30, 15, tzinfo=UTC)),
+    ("piątek, 5 marca 2021, 14:30", {"languages": ["pl"]},
+     datetime(2021, 3, 5, 20, 30, tzinfo=UTC)),
+    ("15 października 2019", {"languages": ["pl"]},
+     datetime(2019, 10, 15, 5, 0, tzinfo=UTC)),  # CDT: UTC-5
+    ("Salı, 3 Mayıs 2022, 09:15", {"languages": ["tr"]},
+     datetime(2022, 5, 3, 14, 15, tzinfo=UTC)),
+    ("14 Ağustos 2015 10:00", {"languages": ["tr"]},
+     datetime(2015, 8, 14, 15, 0, tzinfo=UTC)),
 ]
 
 

@@ -171,3 +171,39 @@ def test_bloom_no_false_negatives(spark):
     tagged = bloom.filter_unseen(df, segs)
     # every inserted hash must be flagged maybe_seen (no false negatives)
     assert tagged.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_outlinks_slice_array_matches_hof_and_stays_codegen(spark):
+    """r04: outlinks moved from transform(sequence(1,deg), mk) — a
+    CodegenFallback higher-order lambda whose interpreted eval path
+    anti-scales under concurrency (BENCH.md §7) — to
+    slice(array(mk(1)..mk(max_degree)), 1, deg).  Values must be identical
+    and the plan must stay inside whole-stage codegen (the `*(N)` marker)."""
+    urls = graph.seed_urls(spark, 500, 200)
+
+    def old_outlinks(url, max_degree, n_hosts):
+        deg_u = (F.pmod(F.xxhash64(url, F.lit("degree")),
+                        F.lit(1_000_000)).cast("double")) / 1_000_000.0
+        deg = (F.floor(deg_u * deg_u * max_degree) + 1).cast("int")
+
+        def mk(i):
+            h = F.xxhash64(url, i, F.lit("path"))
+            host = graph.child_host(url, i, n_hosts)
+            path = F.concat(F.lit("/p/"), F.abs(h).cast("string"))
+            noise = F.pmod(F.xxhash64(url, i, F.lit("noise")), F.lit(10))
+            base = F.concat(F.lit("https://"), host, path)
+            return (F.when(noise == 0, F.concat(base, F.lit("/")))
+                    .when(noise == 1, F.concat(base, F.lit("#frag")))
+                    .when(noise == 2, F.concat(F.lit("HTTPS://"), F.upper(host), path))
+                    .when(noise == 3, F.concat(F.lit("https://"), host, F.lit(":443"), path))
+                    .otherwise(base))
+
+        return F.transform(F.sequence(F.lit(1), deg), mk)
+
+    cmp = urls.select(
+        old_outlinks(F.col("url"), 8, 1000).alias("old"),
+        graph.outlinks(F.col("url"), 8, 1000).alias("new"))
+    assert cmp.where(F.col("old") != F.col("new")).count() == 0
+    new_only = urls.select(graph.outlinks(F.col("url"), 8, 1000).alias("links"))
+    plan = new_only._jdf.queryExecution().executedPlan().toString()
+    assert plan.lstrip().startswith("*"), plan[:200]

@@ -357,3 +357,26 @@ def test_remove_emojis_spark(spark):
     op = RemoveEmojis()
     assert run_scalar(spark, op, [c[0] for c in REMOVE_EMOJI_CASES]) == [
         c[1] for c in REMOVE_EMOJI_CASES]
+
+
+DEMOJIZE_JA_CASES = [
+    # r04: first non-Latin language table (VERDICT r03 #8; reference emoji
+    # lib ships all CLDR languages, single_value.py:465-509)
+    ("Python \U0001F44D", "Python :サムズアップ:"),
+    ("こんにちは \U0001F60A", "こんにちは :照れ笑い:"),
+    ("大好き ❤️", "大好き :赤いハート:"),
+    ("すごい \U0001F389\U0001F4AF", "すごい :クラッカー::100点:"),
+    # emoji known to the detector but outside the ja subset stays intact
+    ("世界 \U0001F30D", "世界 \U0001F30D"),
+]
+
+
+@pytest.mark.parametrize("inp,exp", DEMOJIZE_JA_CASES)
+def test_demojize_ja_py(inp, exp):
+    assert Demojize(language="ja").process_value(inp) == exp
+
+
+def test_demojize_ja_spark(spark):
+    op = Demojize(language="ja")
+    assert run_scalar(spark, op, [c[0] for c in DEMOJIZE_JA_CASES]) == [
+        c[1] for c in DEMOJIZE_JA_CASES]
