@@ -5,7 +5,8 @@ dependency, ``single_value.py:794-868``) for the locales and shapes the
 reference test-suite exercises — en/fr/es/pt month names, weekday prefixes,
 numeric M/D/Y, 12h/24h times (``tests/test_single_value.py:545-577``) —
 plus de/it month-name dates (scope widened per round-1 review), nl/sv
-(round 3), and ja numeric-unit dates + pl/tr month names (round 4).
+(round 3), ja numeric-unit dates + pl/tr month names (round 4), and
+ru/fi month names (round 4 widening #2).
 Full dateparser parity is explicitly out of scope (SURVEY.md §2.3 #13).
 
 Month/day-name tables are public CLDR vocabulary.
@@ -59,6 +60,25 @@ _MONTHS = {
     "ocak": 1, "subat": 2, "mart": 3, "nisan": 4, "mayıs": 5, "mayis": 5,
     "haziran": 6, "temmuz": 7, "agustos": 8, "eylul": 9, "ekim": 10,
     "kasım": 11, "kasim": 11, "aralık": 12, "aralik": 12,
+    # ru (r04 widening) — genitive (the form dates use: "5 марта 2021") +
+    # nominative + 3-letter abbreviations.  NFD-fold note: й decomposes to
+    # и+U+0306 and ё to е+U+0308, so keys store the FOLDED forms ("маи" is
+    # folded "май"); no other month name carries a combining mark.
+    "января": 1, "январь": 1, "янв": 1, "февраля": 2, "февраль": 2, "фев": 2,
+    "марта": 3, "март": 3, "мар": 3, "апреля": 4, "апрель": 4, "апр": 4,
+    "мая": 5, "маи": 5, "июня": 6, "июнь": 6, "июн": 6,
+    "июля": 7, "июль": 7, "июл": 7, "августа": 8, "август": 8, "авг": 8,
+    "сентября": 9, "сентябрь": 9, "сен": 9, "октября": 10, "октябрь": 10,
+    "окт": 10, "ноября": 11, "ноябрь": 11, "ноя": 11,
+    "декабря": 12, "декабрь": 12, "дек": 12,
+    # fi (r04 widening) — partitive (dates: "5. maaliskuuta 2021") +
+    # nominative; accent-folded (ä->a: kesäkuu -> kesakuu)
+    "tammikuuta": 1, "tammikuu": 1, "helmikuuta": 2, "helmikuu": 2,
+    "maaliskuuta": 3, "maaliskuu": 3, "huhtikuuta": 4, "huhtikuu": 4,
+    "toukokuuta": 5, "toukokuu": 5, "kesakuuta": 6, "kesakuu": 6,
+    "heinakuuta": 7, "heinakuu": 7, "elokuuta": 8, "elokuu": 8,
+    "syyskuuta": 9, "syyskuu": 9, "lokakuuta": 10, "lokakuu": 10,
+    "marraskuuta": 11, "marraskuu": 11, "joulukuuta": 12, "joulukuu": 12,
 }
 
 _WEEKDAYS = {
@@ -78,6 +98,12 @@ _WEEKDAYS = {
     "niedziela",
     "pazartesi", "salı", "sali", "carsamba", "persembe", "cuma", "cumartesi",
     "pazar",
+    # ru (folded forms; no weekday carries й/ё except via fold-stable chars)
+    "понедельник", "вторник", "среда", "четверг", "пятница", "суббота",
+    "воскресенье",
+    # fi
+    "maanantai", "tiistai", "keskiviikko", "torstai", "perjantai", "lauantai",
+    "sunnuntai",
 }
 
 _FILLER = {"le", "la", "el", "a", "at", "on", "the", "de", "del", "em", "às", "as"}

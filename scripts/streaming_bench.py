@@ -1,13 +1,21 @@
 #!/usr/bin/env python3
-"""Throughput of the stateful streaming URL-seen dedup (VERDICT r03 #10).
+"""Throughput of the stateful streaming dedup (streaming/stateful.py) at two
+parallelism levels — the last unmeasured subsystem (VERDICT r03 #10).
 
-Generates a deterministic url stream into parquet (several files => several
-micro-batches with ~30% cross-batch duplicates), then runs
-``dedup_urls_stream`` with an availableNow trigger at a given parallelism
-and reports rows/s end-to-end (state store + applyInPandasWithState).
+Protocol matches bench.py's pinned pairs: each level runs in a fresh
+``local[cores]`` subprocess JVM, CPU-pinned with ``taskset -c 0..cores-1``
+(task slots are not a core budget — python state workers overlap the JVM
+thread), shuffle partitions = cores, and the pair is bracketed by the same
+sustained raw-CPU calibration so the number can be read against the era.
 
-Usage: python scripts/streaming_bench.py <cores> <n_urls> [n_files]
-Prints one JSON line.
+Input: a seeded synthetic URL stream written to parquet (dup factor 2 —
+every URL appears twice so the state path does real suppression work),
+consumed with availableNow + maxFilesPerTrigger so the run crosses several
+micro-batches and the state store round-trips between them.  The sink is a
+noop-forced foreachBatch: full computation, no output IO.
+
+Usage:  python scripts/streaming_bench.py            # pair + summary JSON
+        python scripts/streaming_bench.py --run 4    # one pinned level
 """
 
 from __future__ import annotations
@@ -15,54 +23,116 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_URLS = int(os.environ.get("SPARK_GRAFT_STREAM_URLS", "2000000"))
+N_FILES = 16
+BATCH_FILES = 4  # -> 4 micro-batches per run
 
 
-def main(cores: int, n_urls: int, n_files: int = 8) -> None:
+def gen_input(spark, src: str, n: int) -> None:
     from pyspark.sql import functions as F
 
+    # dup factor 2: ids 0..n-1 mapped onto n/2 distinct URLs
+    (spark.range(n)
+     .select(F.concat(F.lit("https://h"),
+                      F.pmod(F.col("id"), F.lit(997)).cast("string"),
+                      F.lit(".example.com/p/"),
+                      F.pmod(F.col("id"), F.lit(n // 2)).cast("string"))
+             .alias("url"))
+     .repartition(N_FILES)
+     .write.mode("overwrite").parquet(src))
+
+
+def run_level(cores: int) -> dict:
     from scrapy_processors_spark.session import get_spark
-    from scrapy_processors_spark.streaming import stateful
+    from scrapy_processors_spark.streaming.stateful import dedup_urls_stream
 
-    work = tempfile.mkdtemp(prefix="stream_bench_")
-    src, ckpt, out = (os.path.join(work, d) for d in ("src", "ckpt", "out"))
-    s = get_spark(master=f"local[{cores}]", app_name=f"stream-bench-{cores}",
-                  shuffle_partitions=cores)
+    spark = get_spark(master=f"local[{cores}]",
+                      app_name=f"stream-bench-{cores}",
+                      shuffle_partitions=cores,
+                      extra_conf={"spark.sql.adaptive.enabled": "false"})
+    work = tempfile.mkdtemp(prefix=f"streambench{cores}_")
+    src = os.path.join(work, "in")
     try:
-        # ~30% of urls repeat an earlier id => cross/in-batch duplicates
-        urls = s.range(n_urls).select(
-            F.when(F.col("id") % 10 < 3, (F.col("id") * 7) % (n_urls // 2))
-            .otherwise(F.col("id")).alias("uid"))
-        urls = urls.select(
-            F.concat(F.lit("https://host"), (F.col("uid") % 997).cast("string"),
-                     F.lit(".example.com/p/"), F.col("uid").cast("string")).alias("url"))
-        urls.repartition(n_files).write.mode("overwrite").parquet(src)
+        gen_input(spark, src, N_URLS)
 
-        stream = (s.readStream.schema("url string").parquet(src)
-                  .withColumn("url_hash", F.xxhash64("url")))
-        deduped = stateful.dedup_urls_stream(stream, n_buckets=max(cores * 4, 8))
-        t0 = time.time()
-        q = (deduped.writeStream.format("parquet")
-             .option("path", out).option("checkpointLocation", ckpt)
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
-        wall = time.time() - t0
-        n_out = s.read.parquet(out).count()
-        print(json.dumps({
-            "mode": "streaming_dedup", "cores": cores, "n_urls": n_urls,
-            "n_files": n_files, "wall_s": round(wall, 2),
-            "rows_per_sec": round(n_urls / wall, 1),
-            "unique_out": n_out,
-        }))
+        def run_once(n_urls_dir: str, ckpt: str) -> float:
+            stream = (spark.readStream.schema("url string")
+                      .option("maxFilesPerTrigger", BATCH_FILES)
+                      .parquet(n_urls_dir))
+            deduped = dedup_urls_stream(stream, n_buckets=64)
+
+            def force(batch_df, _epoch):
+                batch_df.write.format("noop").mode("overwrite").save()
+
+            t0 = time.time()
+            q = (deduped.writeStream.foreachBatch(force)
+                 .outputMode("update")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True)
+                 .start())
+            q.awaitTermination(600)
+            return time.time() - t0
+
+        # warmup on a small input: python-worker fork/import + first-run
+        # stage shapes paid before the timed run
+        warm_src = os.path.join(work, "warm")
+        gen_input(spark, warm_src, 50_000)
+        run_once(warm_src, os.path.join(work, "ckpt_warm"))
+
+        wall = run_once(src, os.path.join(work, "ckpt"))
+        return {
+            "cores": cores,
+            "input_urls": N_URLS,
+            "distinct_urls": N_URLS // 2,
+            "micro_batches": N_FILES // BATCH_FILES,
+            "wall_s": round(wall, 2),
+            "urls_per_sec": round(N_URLS / wall, 1),
+        }
     finally:
-        s.stop()
+        spark.stop()
         shutil.rmtree(work, ignore_errors=True)
 
 
+def pinned_subprocess(cores: int) -> dict:
+    argv = [sys.executable, os.path.abspath(__file__), "--run", str(cores)]
+    if shutil.which("taskset"):
+        argv = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] + argv
+    r = subprocess.run(argv, capture_output=True, text=True, timeout=1200)
+    line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+    if not line:
+        raise RuntimeError(f"level {cores} failed: {r.stderr[-800:]}")
+    return json.loads(line)
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--run":
+        print(json.dumps(run_level(int(sys.argv[2]))))
+        return
+
+    import bench  # cpu_calibration
+
+    lo_cores, hi_cores = (int(x) for x in os.environ.get(
+        "SPARK_GRAFT_STREAM_CORES", "1,4").split(","))
+    c0 = bench.cpu_calibration(lo_cores, hi_cores)
+    lo = pinned_subprocess(lo_cores)
+    hi = pinned_subprocess(hi_cores)
+    c1 = bench.cpu_calibration(lo_cores, hi_cores)
+    eff = round((hi["urls_per_sec"] / lo["urls_per_sec"]) / (hi_cores / lo_cores), 3)
+    print(json.dumps({
+        "low": lo, "high": hi,
+        "scaling_efficiency": eff,
+        "calib_before": c0, "calib_after": c1,
+        "era_ok": min(c0["hw_ceiling"], c1["hw_ceiling"]) >= 0.75,
+    }))
+
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]), int(sys.argv[2]),
-         int(sys.argv[3]) if len(sys.argv) > 3 else 8)
+    main()

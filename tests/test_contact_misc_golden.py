@@ -202,3 +202,23 @@ def test_phone_numbers_pl_tr_ch_be_regions():
     assert PhoneNumbers().process_value("+90 212 345 67 89") == ["+902123456789"]
     assert PhoneNumbers().process_value("+41 44 668 18 00") == ["+41446681800"]
     assert PhoneNumbers().process_value("+32 2 552 82 11") == ["+3225528211"]
+
+
+def test_phone_numbers_more_regions_r04():
+    # r04 widening #2: AT/DK/NO/PT/IE/KR length-rule tables
+    assert PhoneNumbers(region="AT").process_value(
+        "Tel: 01 514 44 2250") == ["+431514442250"]
+    assert PhoneNumbers(region="DK").process_value(
+        "ring 33 92 33 00") == ["+4533923300"]
+    assert PhoneNumbers(region="NO").process_value(
+        "ring 22 24 90 90") == ["+4722249090"]
+    assert PhoneNumbers(region="PT").process_value(
+        "ligue 21 342 65 06") == ["+351213426506"]
+    assert PhoneNumbers(region="IE").process_value(
+        "call 01 619 4000") == ["+35316194000"]
+    assert PhoneNumbers(region="KR").process_value(
+        "02-1234-5678") == ["+82212345678"]
+    # +CC international forms need no region (3-digit country codes too)
+    assert PhoneNumbers().process_value("+351 21 342 65 06") == ["+351213426506"]
+    assert PhoneNumbers().process_value("+353 1 619 4000") == ["+35316194000"]
+    assert PhoneNumbers().process_value("+82 2 1234 5678") == ["+82212345678"]

@@ -133,6 +133,17 @@ DTE_CASES = [
      datetime(2022, 5, 3, 14, 15, tzinfo=UTC)),
     ("14 Ağustos 2015 10:00", {"languages": ["tr"]},
      datetime(2015, 8, 14, 15, 0, tzinfo=UTC)),
+    # ru/fi month-name dates (r04 widening #2)
+    ("пятница, 5 марта 2021, 14:30", {"languages": ["ru"]},
+     datetime(2021, 3, 5, 20, 30, tzinfo=UTC)),  # CST: UTC-6
+    ("12 мая 2020, 10:00", {"languages": ["ru"]},
+     datetime(2020, 5, 12, 15, 0, tzinfo=UTC)),  # CDT: UTC-5
+    ("15 августа 2019", {"languages": ["ru"]},
+     datetime(2019, 8, 15, 5, 0, tzinfo=UTC)),
+    ("perjantai 5. maaliskuuta 2021, 14:30", {"languages": ["fi"]},
+     datetime(2021, 3, 5, 20, 30, tzinfo=UTC)),
+    ("15 lokakuuta 2019", {"languages": ["fi"]},
+     datetime(2019, 10, 15, 5, 0, tzinfo=UTC)),
 ]
 
 

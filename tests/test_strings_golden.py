@@ -380,3 +380,38 @@ def test_demojize_ja_spark(spark):
     op = Demojize(language="ja")
     assert run_scalar(spark, op, [c[0] for c in DEMOJIZE_JA_CASES]) == [
         c[1] for c in DEMOJIZE_JA_CASES]
+
+
+DEMOJIZE_KO_CASES = [
+    ("Python \U0001F44D", "Python :엄지_위로:"),
+    ("안녕 \U0001F60A", "안녕 :미소_짓는_얼굴:"),
+    ("사랑 ❤️", "사랑 :빨간_하트:"),
+    ("대박 \U0001F389\U0001F4AF", "대박 :폭죽::100점:"),
+    # emoji known to the detector but outside the ko subset stays intact
+    ("세계 \U0001F30D", "세계 \U0001F30D"),
+]
+
+DEMOJIZE_ZH_CASES = [
+    ("Python \U0001F44D", "Python :拇指向上:"),
+    ("你好 \U0001F60A", "你好 :羞涩微笑:"),
+    ("我爱你 ❤️", "我爱你 :红心:"),
+    ("太棒了 \U0001F389\U0001F4AF", "太棒了 :拉花彩带::一百分:"),
+    ("世界 \U0001F30D", "世界 \U0001F30D"),
+]
+
+
+@pytest.mark.parametrize("inp,exp", DEMOJIZE_KO_CASES)
+def test_demojize_ko_py(inp, exp):
+    assert Demojize(language="ko").process_value(inp) == exp
+
+
+@pytest.mark.parametrize("inp,exp", DEMOJIZE_ZH_CASES)
+def test_demojize_zh_py(inp, exp):
+    assert Demojize(language="zh").process_value(inp) == exp
+
+
+def test_demojize_ko_zh_spark(spark):
+    for lang, cases in (("ko", DEMOJIZE_KO_CASES), ("zh", DEMOJIZE_ZH_CASES)):
+        op = Demojize(language=lang)
+        assert run_scalar(spark, op, [c[0] for c in cases]) == [
+            c[1] for c in cases]
