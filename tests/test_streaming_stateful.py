@@ -44,3 +44,62 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert len(urls) == 25
     assert len(set(urls)) == 25
     assert sum(1 for u in urls if "/new/" in u) == 5
+
+
+# ------------------------- vectorized state kernel semantics (no Spark)
+class _StubState:
+    """Minimal GroupState stand-in for driving _dedup_fn directly."""
+
+    def __init__(self, blob=None):
+        self._blob = blob
+        self.updated = None
+
+    @property
+    def exists(self):
+        return self._blob is not None
+
+    @property
+    def get(self):
+        return (self._blob,)
+
+    def update(self, tup):
+        self.updated = tup[0]
+
+
+def test_dedup_fn_first_occurrence_and_cross_pdf():
+    import numpy as np
+    import pandas as pd
+
+    from scrapy_processors_spark.streaming import stateful
+
+    def pdf(hashes):
+        return pd.DataFrame({
+            "bucket": [0] * len(hashes),
+            "url": [f"u{h}" for h in hashes],
+            "url_hash": pd.array(hashes, dtype="int64"),
+        })
+
+    # two pdfs in one call: in-batch dup keeps FIRST occurrence; a hash
+    # emitted from pdf1 is suppressed in pdf2; state accumulates across both
+    st = _StubState()
+    out = list(stateful._dedup_fn((0,), iter([pdf([5, 7, 5, 9]), pdf([7, 11])]), st))
+    emitted = [u for o in out for u in o["url"]]
+    assert emitted == ["u5", "u7", "u9", "u11"]
+    seen = np.frombuffer(st.updated, dtype=np.uint64)
+    assert sorted(seen.tolist()) == [5, 7, 9, 11]
+    assert np.all(np.diff(seen.astype(np.int64)) > 0)  # blob stays sorted
+
+    # restart path: pre-existing blob (UNSORTED, as an older version may
+    # have written) suppresses its hashes; negative int64 hashes round-trip
+    # through the uint64 view
+    old = np.array([9, 5], dtype=np.uint64).tobytes()
+    st2 = _StubState(old)
+    out2 = list(stateful._dedup_fn((0,), iter([pdf([5, -3, 9, -3])]), st2))
+    assert [u for o in out2 for u in o["url"]] == ["u-3"]
+    seen2 = np.frombuffer(st2.updated, dtype=np.uint64)
+    assert np.uint64(np.int64(-3)) in seen2 and len(seen2) == 3
+
+    # empty-input call leaves state intact
+    st3 = _StubState(st2.updated)
+    assert list(stateful._dedup_fn((0,), iter([pdf([])]), st3)) == []
+    assert st3.updated == st2.updated
