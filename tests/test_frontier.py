@@ -207,3 +207,31 @@ def test_outlinks_slice_array_matches_hof_and_stays_codegen(spark):
     new_only = urls.select(graph.outlinks(F.col("url"), 8, 1000).alias("links"))
     plan = new_only._jdf.queryExecution().executedPlan().toString()
     assert plan.lstrip().startswith("*"), plan[:200]
+
+
+def test_page_html_kernel_deterministic(spark):
+    """r04: the bench's synthetic page generator must be a pure function of
+    the url — lo/hi bench levels and repeated runs rely on identical page
+    bodies — and word draws must span the vocab (shingle diversity for the
+    minhash stage)."""
+    from pyspark.sql import functions as F
+
+    from scrapy_processors_spark.frontier import graph
+
+    html = graph.page_html_kernel(words_per_page=50, vocab=100)
+    urls = spark.range(40).select(
+        F.concat(F.lit("https://h"), F.col("id").cast("string")).alias("url"))
+    a = {r["url"]: r["html"] for r in
+         urls.repartition(1).select("url", html(F.col("url")).alias("html")).collect()}
+    b = {r["url"]: r["html"] for r in
+         urls.repartition(7).select("url", html(F.col("url")).alias("html")).collect()}
+    assert a == b  # partitioning-independent, deterministic per url
+    body = a["https://h0"]
+    assert body.startswith('  "<p>') and body.endswith(" !</p>  ")
+    words = body.split("<p>")[1].split(" !")[0].split()
+    assert len(words) == 50
+    # different urls draw different word sequences; draws span the vocab
+    assert a["https://h0"] != a["https://h1"]
+    distinct = {w for b2 in a.values()
+                for w in b2.split("<p>")[1].split(" !")[0].split()}
+    assert len(distinct) > 60
