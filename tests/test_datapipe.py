@@ -78,6 +78,32 @@ def test_lsh_bucketed_topk(vecs):
     assert any(r["cand_id"] == 100 for r in out)
 
 
+def test_ivf_topk(vecs):
+    """r04 scale path #2: IVF with a deterministic k-means quantizer."""
+    import numpy as np
+
+    # deterministic: two independent centroid builds agree exactly
+    c1 = similarity.ivf_centroids(vecs, n_lists=4, n_iters=3)
+    c2 = similarity.ivf_centroids(vecs, n_lists=4, n_iters=3)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (4, 8)
+
+    # probing ALL lists must reproduce the brute-force top-k exactly
+    # (IVF only prunes; inside the probed lists the rank is exact)
+    q = vecs.where("vec_id < 3")
+    exact = {(r["query_id"], r["rank"]): r["cand_id"]
+             for r in similarity.cosine_topk(q, vecs, k=3).collect()}
+    full = {(r["query_id"], r["rank"]): r["cand_id"]
+            for r in similarity.ivf_topk(q, vecs, k=3, n_lists=4, n_probe=4,
+                                         centroids=c1).collect()}
+    assert full == exact
+
+    # the planted twin of vec 0 lands in vec 0's own top list
+    out = similarity.ivf_topk(vecs.where("vec_id = 0"), vecs, k=1,
+                              n_lists=4, n_probe=1, centroids=c1).collect()
+    assert out and out[0]["cand_id"] == 100
+
+
 def test_simhash_kernel_matches_fold(docs):
     out = docs.select(
         "doc_id",
