@@ -355,18 +355,22 @@ def main():
     calib = cpu_calibration(lo_cores, hi_cores)
 
     if os.environ.get("SPARK_GRAFT_BENCH_SKIP_QUERIES") == "1":
-        timings, ann_recall = {}, None  # pair-loop iteration mode
+        timings, ann_recall, ivf_recall = {}, None, None  # pair-loop iteration mode
     else:
         spark = make_spark(min(cpus, 16))
         timings = run_queries(spark, sf_dir)
-        # ann recall@k of the LSH scale path vs the brute-force baseline
+        # ann recall@k of the two approximate scale paths vs brute force
+        ivf_recall = None
         try:
             from pyspark.sql import functions as F
 
             from scrapy_processors_spark.datapipe import similarity
 
             emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-            ann_recall = similarity.lsh_recall(emb.where(F.col("vec_id") < 20), emb, k=5)
+            qs20 = emb.where(F.col("vec_id") < 20)
+            ann_recall = similarity.lsh_recall(qs20, emb, k=5)
+            ivf_recall = similarity.ivf_recall(qs20, emb, k=5,
+                                               n_lists=16, n_probe=8)
         except Exception:
             ann_recall = None
         spark.stop()
@@ -556,6 +560,7 @@ def main():
             "era_gate": gate,
         },
         "ann_lsh_recall_at_5": ann_recall,
+        "ann_ivf_recall_at_5": ivf_recall,
         "total_wall_s": round(time.time() - total_t0, 3),
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -583,6 +588,7 @@ def main():
             "era_gate": gate,
         },
         "ann_lsh_recall_at_5": ann_recall,
+        "ann_ivf_recall_at_5": ivf_recall,
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(out))
