@@ -359,8 +359,10 @@ def main():
     else:
         spark = make_spark(min(cpus, 16))
         timings = run_queries(spark, sf_dir)
-        # ann recall@k of the two approximate scale paths vs brute force
-        ivf_recall = None
+        # ann recall@k of the two approximate scale paths vs brute force;
+        # the exact baseline is computed ONCE and shared, and each path
+        # fails independently (an IVF error must not null the LSH number)
+        ann_recall = ivf_recall = None
         try:
             from pyspark.sql import functions as F
 
@@ -368,11 +370,20 @@ def main():
 
             emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
             qs20 = emb.where(F.col("vec_id") < 20)
-            ann_recall = similarity.lsh_recall(qs20, emb, k=5)
-            ivf_recall = similarity.ivf_recall(qs20, emb, k=5,
-                                               n_lists=16, n_probe=8)
-        except Exception:
-            ann_recall = None
+            exact = (similarity.cosine_topk(qs20, emb, k=5)
+                     .select("query_id", "cand_id").cache())
+            exact.count()
+            try:
+                ann_recall = similarity.lsh_recall(qs20, emb, k=5, exact=exact)
+            except Exception as e:
+                print(f"warn: lsh_recall failed: {e}", file=sys.stderr)
+            try:
+                ivf_recall = similarity.ivf_recall(qs20, emb, k=5, exact=exact,
+                                                   n_lists=16, n_probe=8)
+            except Exception as e:
+                print(f"warn: ivf_recall failed: {e}", file=sys.stderr)
+        except Exception as e:
+            print(f"warn: recall baseline failed: {e}", file=sys.stderr)
         spark.stop()
 
     # The sandbox's delivered CPU fluctuates by 3-10x on a minutes timescale,

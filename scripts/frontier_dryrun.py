@@ -76,16 +76,19 @@ def main():
             / (len(r["bitmap"]) * 8)
             for r in rows if r["bitmap"]
         ]
-        k = max(r["k"] for r in rows)
-        bloom_stats = {
-            "segments": len(rows),
-            "bitmap_bytes": sum(len(r["bitmap"] or b"") for r in rows),
-            "m_bits": max(r["m_bits"] for r in rows),
-            "k": k,
-            "avg_bit_load": round(sum(loads) / max(len(loads), 1), 4),
-            "max_bit_load": round(max(loads), 4) if loads else None,
-            "est_fpr": round((sum(loads) / max(len(loads), 1)) ** k, 6),
-        }
+        if rows:
+            k = max(r["k"] for r in rows)
+            bloom_stats = {
+                "segments": len(rows),
+                "bitmap_bytes": sum(len(r["bitmap"] or b"") for r in rows),
+                "m_bits": max(r["m_bits"] for r in rows),
+                "k": k,
+                "avg_bit_load": round(sum(loads) / max(len(loads), 1), 4),
+                "max_bit_load": round(max(loads), 4) if loads else None,
+                "est_fpr": round((sum(loads) / max(len(loads), 1)) ** k, 6),
+            }
+        else:  # bloom table present but empty (e.g. pre-seen checkpoint)
+            bloom_stats = {"segments": 0}
 
     out = {
         "n_seeds": n_seeds,

@@ -39,12 +39,18 @@ BATCH_FILES = 4  # -> 4 micro-batches per run
 def gen_input(spark, src: str, n: int) -> None:
     from pyspark.sql import functions as F
 
-    # dup factor 2: ids 0..n-1 mapped onto n/2 distinct URLs
+    # dup factor 2: ids 0..n-1 mapped onto n/2 distinct URLs.  BOTH url
+    # components must derive from the folded uid — the first version took
+    # the host from the raw id and the path from uid, and by CRT
+    # (gcd(997, n/2) = 1) that made every URL DISTINCT: the bench measured
+    # a duplicate-free stream (caught in round-4 review; run_level now
+    # verifies the emitted count against distinct_urls).
+    uid = F.pmod(F.col("id"), F.lit(n // 2))
     (spark.range(n)
      .select(F.concat(F.lit("https://h"),
-                      F.pmod(F.col("id"), F.lit(997)).cast("string"),
+                      F.pmod(uid, F.lit(997)).cast("string"),
                       F.lit(".example.com/p/"),
-                      F.pmod(F.col("id"), F.lit(n // 2)).cast("string"))
+                      uid.cast("string"))
              .alias("url"))
      .repartition(N_FILES)
      .write.mode("overwrite").parquet(src))
@@ -63,14 +69,17 @@ def run_level(cores: int) -> dict:
     try:
         gen_input(spark, src, N_URLS)
 
-        def run_once(n_urls_dir: str, ckpt: str) -> float:
+        def run_once(n_urls_dir: str, ckpt: str) -> tuple:
             stream = (spark.readStream.schema("url string")
                       .option("maxFilesPerTrigger", BATCH_FILES)
                       .parquet(n_urls_dir))
             deduped = dedup_urls_stream(stream, n_buckets=64)
+            emitted = []
 
+            # count() forces full computation like the noop write and
+            # doubles as the correctness gate on total emitted rows
             def force(batch_df, _epoch):
-                batch_df.write.format("noop").mode("overwrite").save()
+                emitted.append(batch_df.count())
 
             t0 = time.time()
             q = (deduped.writeStream.foreachBatch(force)
@@ -78,7 +87,10 @@ def run_level(cores: int) -> dict:
                  .option("checkpointLocation", ckpt)
                  .trigger(availableNow=True)
                  .start())
-            q.awaitTermination(600)
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("streaming run exceeded 600 s — result "
+                                   "would be bogus (query still running)")
             wall = time.time() - t0
             if os.environ.get("SPARK_GRAFT_STREAM_PROGRESS") == "1":
                 for p in q.recentProgress:
@@ -92,19 +104,25 @@ def run_level(cores: int) -> dict:
                         "state_rows": so.get("numRowsTotal"),
                         "state_mem": so.get("memoryUsedBytes"),
                     }), file=sys.stderr)
-            return wall
+            return wall, sum(emitted)
 
         # warmup on a small input: python-worker fork/import + first-run
         # stage shapes paid before the timed run
         warm_src = os.path.join(work, "warm")
         gen_input(spark, warm_src, 50_000)
-        run_once(warm_src, os.path.join(work, "ckpt_warm"))
+        _, warm_out = run_once(warm_src, os.path.join(work, "ckpt_warm"))
+        assert warm_out == 25_000, f"warmup dedup wrong: {warm_out}"
 
-        wall = run_once(src, os.path.join(work, "ckpt"))
+        wall, n_out = run_once(src, os.path.join(work, "ckpt"))
+        if n_out != N_URLS // 2:
+            raise RuntimeError(
+                f"dedup emitted {n_out} rows, expected {N_URLS // 2} — "
+                "input duplication or state suppression is broken")
         return {
             "cores": cores,
             "input_urls": N_URLS,
             "distinct_urls": N_URLS // 2,
+            "output_urls": n_out,
             "micro_batches": N_FILES // BATCH_FILES,
             "wall_s": round(wall, 2),
             "urls_per_sec": round(N_URLS / wall, 1),

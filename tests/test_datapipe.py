@@ -82,10 +82,13 @@ def test_ivf_topk(vecs):
     """r04 scale path #2: IVF with a deterministic k-means quantizer."""
     import numpy as np
 
-    # deterministic: two independent centroid builds agree exactly
+    # RNG-free: two independent builds agree (to float-sum reordering —
+    # F.avg means are reproducible only to ~last-ulp across partitionings,
+    # see the ivf_centroids docstring; on this well-separated fixture the
+    # assignments cannot flip so the tolerance is comfortable)
     c1 = similarity.ivf_centroids(vecs, n_lists=4, n_iters=3)
     c2 = similarity.ivf_centroids(vecs, n_lists=4, n_iters=3)
-    assert np.array_equal(c1, c2)
+    assert np.allclose(c1, c2, atol=1e-9)
     assert c1.shape == (4, 8)
 
     # probing ALL lists must reproduce the brute-force top-k exactly
