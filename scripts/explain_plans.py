@@ -164,6 +164,21 @@ def main():
         ("scan reads only doc_id,text", lambda p: "struct<doc_id:bigint,text:string>" in p),
     ])
 
+    # 15. IVF ANN (r04): the probe join must be a cluster_id equi-join —
+    # never a cartesian product (only the brute-force baseline is allowed
+    # one) — with the tiny query side broadcast
+    from scrapy_processors_spark.datapipe import similarity as _sim
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs5 = emb.where(F.col("vec_id") < 5)
+    cents = _sim.ivf_centroids(emb, n_lists=8, n_iters=2)
+    ivf = _sim.ivf_topk(qs5, emb, k=3, n_lists=8, n_probe=2, centroids=cents)
+    add("ivf_topk (equi-join probe)", ivf, [
+        ("no cartesian product", lambda p: "Cartesian" not in p),
+        ("broadcast hash join on cluster_id",
+         lambda p: "BroadcastHashJoin" in p and "cluster_id" in p),
+        ("top-k rank window present", lambda p: "row_number" in p),
+    ])
+
     n_fail = sum(1 for _, _, ok in checks if not ok)
     header = (
         "# PLANS — physical-plan audit (generated by scripts/explain_plans.py)\n\n"
