@@ -235,3 +235,20 @@ def test_page_html_kernel_deterministic(spark):
     distinct = {w for b2 in a.values()
                 for w in b2.split("<p>")[1].split(" !")[0].split()}
     assert len(distinct) > 60
+
+
+def test_auto_m_bits_sizing():
+    """r04: per-bucket Bloom sizing — power-of-two, [2^20, 2^24] clamp,
+    ~10 bits per expected URL (the dry-run-validated lever, BENCH.md)."""
+    from scrapy_processors_spark.frontier.bloom import auto_m_bits
+
+    assert auto_m_bits(1000, 64) == 1 << 20          # floor
+    assert auto_m_bits(10_000_000, 64) == 1 << 21    # 156k/bucket * 10 -> 2^21
+    assert auto_m_bits(30_000_000, 64) == 1 << 23    # the 10^7 dryrun shape
+    assert auto_m_bits(10**10, 64) == 1 << 24        # ceiling
+    assert auto_m_bits(0, 64) == 1 << 20             # degenerate inputs
+    assert auto_m_bits(1000, 0) == 1 << 20
+    # result is always a power of two inside the clamp
+    for n in (1, 10**5, 10**7, 10**9):
+        m = auto_m_bits(n, 64)
+        assert (1 << 20) <= m <= (1 << 24) and m & (m - 1) == 0
