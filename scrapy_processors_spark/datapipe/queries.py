@@ -51,7 +51,7 @@ def q_embedding_dedup(spark, sf_dir):
     pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
     return pairs.select(
         "id_a", "id_b",
-        F.round(dedup.cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos"),
+        F.round(dedup.cosine_similarity_fast(F.col("va"), F.col("vb")), 4).alias("cos"),
     )
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from scrapy_processors_spark.datapipe.dedup import dot_product, l2_norm
+from scrapy_processors_spark.datapipe.dedup import dot_product_kernel, l2_norm_kernel
 
 
 def cosine_topk(queries: DataFrame, candidates: DataFrame, k: int = 3,
@@ -36,15 +36,15 @@ def cosine_topk(queries: DataFrame, candidates: DataFrame, k: int = 3,
     not per pair inside it (|Q|x|C| folds x3): identical IEEE result, a 3x
     cut in per-pair work — the term that dominates at 100 TB."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-                       l2_norm(F.col(vec_col)).alias("qn"))
+                       l2_norm_kernel(F.col(vec_col)).alias("qn"))
     c = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
-                          l2_norm(F.col(vec_col)).alias("cn"))
+                          l2_norm_kernel(F.col(vec_col)).alias("cn"))
     scored = (
         F.broadcast(q).crossJoin(c)
         .where(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id", "cand_id",
-            F.round(dot_product(F.col("qv"), F.col("cv"))
+            F.round(dot_product_kernel(F.col("qv"), F.col("cv"))
                     / (F.col("qn") * F.col("cn")), round_digits).alias("cos"),
         )
     )
@@ -183,18 +183,18 @@ def lsh_bucketed_topk(queries: DataFrame, candidates: DataFrame, k: int = 3,
 
     q = with_buckets(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-                       l2_norm(F.col(vec_col)).alias("qn")),
+                       l2_norm_kernel(F.col(vec_col)).alias("qn")),
         "query_id", "qv")
     c = with_buckets(
         candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
-                          l2_norm(F.col(vec_col)).alias("cn")),
+                          l2_norm_kernel(F.col(vec_col)).alias("cn")),
         "cand_id", "cv")
     scored = (
         F.broadcast(q).join(c, on=["table_id", "bucket"])
         .where(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id", "cand_id",
-            F.round(dot_product(F.col("qv"), F.col("cv"))
+            F.round(dot_product_kernel(F.col("qv"), F.col("cv"))
                     / (F.col("qn") * F.col("cn")), round_digits).alias("cos"),
         )
         .distinct()  # a pair matching in several tables scores once
@@ -259,7 +259,12 @@ def ivf_centroids(candidates: DataFrame, n_lists: int = 16, n_iters: int = 5,
         n[n == 0] = 1.0
         return m / n
 
-    means = mean_by(c, F.pmod(F.col("cid"), F.lit(n_lists)))
+    # xxhash64(cid) makes the init grouping deterministic for ANY id type —
+    # pmod on a raw string id yields null and crashed the cents[] fill
+    # (ADVICE r04); for integral ids the grouping differs from plain
+    # `cid % n_lists` but is equally arbitrary, and Lloyd iterations wash
+    # out the init choice.
+    means = mean_by(c, F.pmod(F.xxhash64(F.col("cid")), F.lit(n_lists)))
     cents = np.zeros((n_lists, dim))
     for j, m in means.items():
         cents[int(j)] = m
@@ -322,18 +327,18 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 3,
 
     c = candidates.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
-        l2_norm(F.col(vec_col)).alias("cn"),
+        l2_norm_kernel(F.col(vec_col)).alias("cn"),
         F.get(probe1(F.col(vec_col)), 0).alias("cluster_id"))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        l2_norm(F.col(vec_col)).alias("qn"),
+        l2_norm_kernel(F.col(vec_col)).alias("qn"),
         F.explode(proben(F.col(vec_col))).alias("cluster_id"))
     scored = (
         F.broadcast(q).join(c, on="cluster_id")
         .where(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id", "cand_id",
-            F.round(dot_product(F.col("qv"), F.col("cv"))
+            F.round(dot_product_kernel(F.col("qv"), F.col("cv"))
                     / (F.col("qn") * F.col("cn")), round_digits).alias("cos"),
         )
     )

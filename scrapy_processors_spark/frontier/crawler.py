@@ -76,6 +76,13 @@ class CrawlConfig:
     cuckoo_m_buckets: int = 1 << 16
     checkpoint_root: Optional[str] = None
     checkpoint_every: int = 1
+    # When set, each round appends its PRE-selection candidate set (the
+    # robots-allowed frontier with materialized url_hash/priority and the
+    # host token budget k) as parquet here — an independent engine can then
+    # re-derive every round's fetch set with one window query, which is the
+    # crawl_bfs correctness oracle (rank+budget at _rank_frontier is pure
+    # SQL; hashing arrives materialized).  Off in production/bench paths.
+    selection_snapshot_path: Optional[str] = None
     # Broadcast host_state/robots onto the frontier (no shuffle).  Valid while
     # the host table fits an executor (~10^6 hosts); at 10^8-host scale flip
     # off and these become bucketed shuffle joins.
@@ -211,6 +218,13 @@ def crawl_round(spark: SparkSession, state: dict, robots: DataFrame,
     # shuffles (measured 3-4x round cost).
     ranked = _rank_frontier(_robots_allowed(frontier, robots), host_state, cfg) \
         .localCheckpoint(eager=True)
+    if cfg.selection_snapshot_path:
+        # salt-pruned rows (rank null) are included: they can never be in
+        # the host top-k, so the oracle's full re-rank puts them past k too
+        ranked.select(
+            F.lit(rnd).alias("round"), "url", "url_hash", "host",
+            "priority", F.col("k").cast("long").alias("k"),
+        ).write.mode("append").parquet(cfg.selection_snapshot_path)
     batch = ranked.where(F.col("rank") <= F.col("k"))
     carryover = ranked.where(F.col("rank").isNull() | (F.col("rank") > F.col("k"))) \
         .select("url", "url_hash", "host", "bucket", "depth", "priority")
@@ -352,6 +366,15 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig,
         if last is not None:
             loaded = ckpt.read_checkpoint(spark, cfg.checkpoint_root, last)
             state = _state_from_checkpoint(spark, loaded, last)
+            if cfg.use_bloom and cfg.bloom_m_bits is None:
+                # resume skips init_state, so resolve the auto geometry here
+                # from the restored seen set (ADVICE r04: otherwise the
+                # rebuild below and any post-resume bucket fell back to the
+                # fixed 1<<20 floor, re-introducing under-sizing; correctness
+                # was never at stake — the exact anti-join backstops — but
+                # FPR/perf was)
+                cfg.bloom_m_bits = bloom_mod.auto_m_bits(
+                    state["seen"].count() * (1 + cfg.max_degree), cfg.n_buckets)
             if cfg.use_bloom and state["bloom"] is None:
                 # older/filter-less checkpoint: one-time rebuild from seen
                 state["bloom"] = _filter_build(

@@ -98,7 +98,9 @@ def page_html_kernel(words_per_page: int = 800, vocab: int = 1000):
             words = word_list[(x % np.uint64(vocab)).astype(np.int64)]
             return '  "<p>' + " ".join(words) + ' !</p>  '
 
-        return urls.map(one)
+        # na_action keeps the None -> None convention of the other Arrow
+        # kernels (ADVICE r04: a null url must not abort the stage)
+        return urls.map(one, na_action="ignore")
 
     return kern
 

@@ -160,13 +160,27 @@ def q_robots_parse(spark, sf_dir):
         "host", F.concat_ws("|", "disallow_prefixes").alias("prefixes"))
 
 
+# Written by q_crawl_bfs, read back by the DuckDB oracle (read_parquet) —
+# the crawl itself is sf-independent (deterministic synthetic graph), so one
+# fixed path works at every sf and the oracle string can stay static.
+CRAWL_BFS_SNAPSHOT = "/tmp/spark_graft_oracle/crawl_bfs_selection_snapshot"
+
+
 def q_crawl_bfs(spark, sf_dir):
-    """Three BFS rounds of the deterministic synthetic crawl (rows-only
-    check: the crawl is not SQL-expressible; cross-run/parallelism equality
-    is covered by tests + bench)."""
+    """Three BFS rounds of the deterministic synthetic crawl.  Each round
+    exports its pre-selection candidate snapshot (url_hash/priority/host
+    budget k materialized) to ``CRAWL_BFS_SNAPSHOT``; the oracle re-derives
+    every round's fetch set from that snapshot with a window query — a hard
+    check of the politeness-budgeted top-k scheduling (crawler.py
+    ``_rank_frontier``).  Graph expansion/seen-dedup determinism is covered
+    by tests + checkpoint-resume equality."""
+    import shutil
+
     from scrapy_processors_spark.frontier.crawler import CrawlConfig, run_crawl
 
-    cfg = CrawlConfig(n_hosts=50, max_degree=4, max_rounds=3, n_buckets=8)
+    shutil.rmtree(CRAWL_BFS_SNAPSHOT, ignore_errors=True)
+    cfg = CrawlConfig(n_hosts=50, max_degree=4, max_rounds=3, n_buckets=8,
+                      selection_snapshot_path=CRAWL_BFS_SNAPSHOT)
     state = run_crawl(spark, cfg)
     return state["fetch_log"].orderBy("round", F.desc("priority"), "url_hash")
 
@@ -251,5 +265,25 @@ FRONTIER_ORACLES = {
             FROM fr
         )
         SELECT host, doc_id, priority, rank FROM ranked WHERE rank <= 3
+    """,
+    # Re-derives every round's fetch set from the pre-selection snapshot the
+    # Spark query just exported (round, url, url_hash, host, priority, k):
+    # rank per (round, host) by (priority DESC, url_hash ASC) — url_hash is
+    # unique within a round's frontier, so the order is total — and keep
+    # rank <= k (the politeness token budget).  This is _rank_frontier's
+    # spec re-executed by an independent engine; only the hash arrives
+    # materialized.
+    "crawl_bfs": f"""
+        WITH snap AS (
+            SELECT * FROM read_parquet('{CRAWL_BFS_SNAPSHOT}/*.parquet')
+        ), ranked AS (
+            SELECT round, url, url_hash, host, priority,
+                   row_number() OVER (
+                       PARTITION BY round, host
+                       ORDER BY priority DESC, url_hash ASC) AS rank, k
+            FROM snap
+        )
+        SELECT round, url, url_hash, host, priority
+        FROM ranked WHERE rank <= k
     """,
 }

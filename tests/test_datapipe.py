@@ -107,6 +107,17 @@ def test_ivf_topk(vecs):
     assert out and out[0]["cand_id"] == 100
 
 
+def test_ivf_string_id(vecs):
+    """ADVICE r04: ivf must accept a non-integral id column — the init
+    grouping hashes the id (xxhash64) instead of pmod-ing it."""
+    sv = vecs.select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding")
+    out = similarity.ivf_topk(sv.where("vec_id = 'doc-0'"), sv,
+                              k=1, n_lists=4, n_probe=4).collect()
+    assert out and out[0]["cand_id"] == "doc-100"
+
+
 def test_simhash_kernel_matches_fold(docs):
     out = docs.select(
         "doc_id",
@@ -310,3 +321,41 @@ def test_minhash_lanes_kernel_matches_expr(spark):
             assert len(r["kern"]) == num_hashes
             for i in range(num_hashes):
                 assert r["kern"][i] == r[f"e{i}"], (r["doc_id"], num_hashes, i)
+
+
+def test_cosine_kernels_match_folds(spark):
+    """r05: the Arrow dot/norm kernels must be value-IDENTICAL (bit-exact,
+    not approximately equal) to the F.aggregate fold spec — the kernel
+    accumulates per dimension to preserve the fold's left-to-right IEEE
+    order.  Covers dense rows, a null vector, ragged lengths (fold yields
+    null via zip_with padding), and magnitudes that would differ under a
+    reordered (pairwise/BLAS) sum.  Zero-norm vectors are out of scope for
+    a value check: the division is the same JVM Column op in both paths,
+    so under ANSI mode both raise DIVIDE_BY_ZERO identically."""
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0], [4.0, 3.0, 2.0, 1.0]),
+        (1, [1e16, 1.0, -1e16, 1.0], [1.0, 1.0, 1.0, 1.0]),   # order-sensitive
+        (2, None, [1.0, 2.0, 3.0, 4.0]),                       # null vector
+        (3, [1.0, 2.0], [1.0, 2.0, 3.0]),                      # ragged
+        (5, [0.1] * 64, [0.3] * 64),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, va array<double>, vb array<double>")
+    out = df.select(
+        "id",
+        dedup.dot_product(F.col("va"), F.col("vb")).alias("dot_f"),
+        dedup.dot_product_kernel(F.col("va"), F.col("vb")).alias("dot_k"),
+        dedup.l2_norm(F.col("va")).alias("n_f"),
+        dedup.l2_norm_kernel(F.col("va")).alias("n_k"),
+        dedup.cosine_similarity(F.col("va"), F.col("vb")).alias("cos_f"),
+        dedup.cosine_similarity_fast(F.col("va"), F.col("vb")).alias("cos_k"),
+    ).collect()
+    for r in out:
+        assert r["dot_f"] == r["dot_k"], ("dot", r["id"], r["dot_f"], r["dot_k"])
+        assert r["n_f"] == r["n_k"], ("norm", r["id"], r["n_f"], r["n_k"])
+        assert r["cos_f"] == r["cos_k"], ("cos", r["id"], r["cos_f"], r["cos_k"])
+    # and the fast path is Arrow, not interpreted fold
+    plan = df.select(dedup.cosine_similarity_fast(
+        F.col("va"), F.col("vb")).alias("c"))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" in plan

@@ -85,6 +85,19 @@ def test_checkpoint_resume_equals_uninterrupted(spark, tmp_path):
     resumed = run_crawl(spark, cfg2, resume=True)
     assert _fetch_order(full) == _fetch_order(resumed)
     assert _seen_set(full) == _seen_set(resumed)
+    # r05 (ADVICE r04): resume must resolve the auto Bloom geometry from the
+    # restored seen set, not fall back to the fixed 1<<20 floor
+    if cfg2.use_bloom:
+        assert cfg2.bloom_m_bits is not None
+
+
+def test_page_html_kernel_null_url(spark):
+    """A null url maps to a null body (ADVICE r04: must not abort the
+    stage), matching the None-propagation convention of the Arrow kernels."""
+    html = graph.page_html_kernel(8)
+    rows = (spark.createDataFrame([("http://a/1",), (None,)], "url string")
+            .select(html(F.col("url")).alias("h")).collect())
+    assert rows[0]["h"] and rows[1]["h"] is None
 
 
 def test_robots_respected(spark):
