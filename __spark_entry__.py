@@ -320,16 +320,12 @@ def q_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- reducers
 
-def q_take_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scrapy_processors_spark import TakeFirst
-
-    docs = _t(spark, sf_dir, "documents")
-    arr = F.array(F.lit(None).cast("string"), F.lit(""), F.split("text", " ")[0])
-    return docs.select("doc_id", TakeFirst()(arr).alias("first_word"))
-
-
 def q_take_first_truthy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scrapy_processors_spark import TakeFirstTruthy
+    """TakeFirstTruthy falsey-skip + TakeFirst null-skip/falsey-keep in one
+    driver row (r05: the standalone `take_first` row was folded in to free
+    a registry slot for `ann_ivf` — the driver records at most the first 50
+    registered queries; see q_take_all_truthy)."""
+    from scrapy_processors_spark import TakeFirst, TakeFirstTruthy
 
     ev = _t(spark, sf_dir, "events")
     arr = F.array(
@@ -337,7 +333,19 @@ def q_take_first_truthy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("value") > 100, F.col("event_type")),
         F.lit("fallback"),
     )
-    return ev.select("event_id", TakeFirstTruthy()(arr).alias("picked"))
+    # TakeFirst excludes (None, ''): skips the leading null AND the empty
+    # string, so the else-branch falls through to 'last'
+    first_arr = F.array(
+        F.lit(None).cast("string"),
+        F.when(F.col("value") > 100, F.lit("big")),
+        F.lit(""),
+        F.lit("last"),
+    )
+    return ev.select(
+        "event_id",
+        TakeFirstTruthy()(arr).alias("picked"),
+        TakeFirst()(first_arr).alias("first_any"),
+    )
 
 
 def q_take_all_truthy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,7 +418,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "call_method": q_call_method,
         "map_compose_algebra": q_map_compose_algebra,
         "compose": q_compose,
-        "take_first": q_take_first,
         "take_first_truthy": q_take_first_truthy,
         "take_all_truthy": q_take_all_truthy,
         "coalesce": q_coalesce,
@@ -541,12 +548,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(string_split(text, ' ')[-1]) AS last_word_len
             FROM documents
         """,
-        "take_first": """
-            SELECT doc_id, split_part(text, ' ', 1) AS first_word FROM documents
-        """,
         "take_first_truthy": """
             SELECT event_id,
-                   CASE WHEN value > 100 THEN event_type ELSE 'fallback' END AS picked
+                   CASE WHEN value > 100 THEN event_type ELSE 'fallback' END AS picked,
+                   CASE WHEN value > 100 THEN 'big' ELSE 'last' END AS first_any
             FROM events
         """,
         "take_all_truthy": """

@@ -21,7 +21,7 @@ HEADLINE = [
     "clean_string", "normalize_whitespace", "extract_digits", "price_parser",
     "normalize_numeric", "datetime", "emails", "take_first_truthy",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "ngram_jaccard",
-    "embedding_dedup", "ann_topk", "ann_lsh", "lang_id", "token_count",
+    "embedding_dedup", "ann_topk", "ann_lsh", "ann_ivf", "lang_id", "token_count",
     "quality_score", "fingerprint", "url_canonicalize", "url_seen_antijoin",
     "frontier_priority",
 ]

@@ -94,16 +94,37 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col).alias("id"), *cols)
 
 
+# minhash_pairs persists its signatures table (scanned 2*bands times per
+# call); the handle is kept here so the NEXT call — or an explicit
+# release_minhash_cache() — unpersists it.  Cache growth is therefore
+# bounded at one signatures table per session regardless of call count
+# (VERDICT r04 #10: the old bare persist leaked one table per call).
+_minhash_sigs_cache: List[DataFrame] = []
+
+
+def release_minhash_cache() -> None:
+    """Unpersist the signatures table cached by the last ``minhash_pairs``
+    call.  Call after the pairs DataFrame has been consumed; safe to call
+    any number of times."""
+    while _minhash_sigs_cache:
+        _minhash_sigs_cache.pop().unpersist()
+
+
 def minhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   num_hashes: int = 4, bands: int = 2,
                   shingle_n: int = 2) -> DataFrame:
     """Candidate near-dup pairs: union over bands of equi-joins on the band
-    key (concatenated minhashes), de-duplicated."""
+    key (concatenated minhashes), de-duplicated.
+
+    Caller contract: the signatures table is persisted lazily and stays
+    cached until the next ``minhash_pairs`` call or an explicit
+    ``release_minhash_cache()`` — unpersisting eagerly here would make the
+    2*bands self-join scans recompute the md5 folds (at warehouse scale
+    this is a persisted signatures table)."""
+    release_minhash_cache()
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    # each band self-joins sigs twice — materialize once instead of
-    # recomputing the md5 folds 2*bands times (at warehouse scale this is a
-    # persisted signatures table)
     sigs = sigs.persist()
+    _minhash_sigs_cache.append(sigs)
     rows_per_band = num_hashes // bands
     pair_dfs: List[DataFrame] = []
     for b in range(bands):

@@ -72,6 +72,22 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.lsh_bucketed_topk(queries, emb, k=3)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN with PINNED deterministic centroids: with ``centroids=``
+    fixed, list assignment is a pure per-dimension fold dot (ties by
+    centroid id), so the probe-restricted exact rank is SQL-replayable
+    with centroid literals — same construction as ``ann_lsh``.  Quality of
+    the data-derived (Lloyd) index is measured separately by
+    ``similarity.ivf_recall`` in bench.py; this row verifies the IVF
+    mechanics (assignment, n_probe explode, cluster equi-join, rank) end
+    to end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.ivf_topk(
+        queries, emb, k=3, n_lists=8, n_probe=2,
+        centroids=similarity.ivf_fixed_centroids(dim=64, n_lists=8))
+
+
 # -------------------------------------------------------------- textstats
 def q_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -142,6 +158,7 @@ DATAPIPE_QUERIES = {
     "embedding_dedup": q_embedding_dedup,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -336,6 +353,58 @@ def _ann_lsh_oracle(dim: int = 64, n_planes: int = 5, n_tables: int = 16) -> str
     """
 
 
+def _ann_ivf_oracle(dim: int = 64, n_lists: int = 8, n_probe: int = 2,
+                    k: int = 3) -> str:
+    """Replays pinned-centroid IVF in DuckDB: per-vector raw dot with each
+    centroid literal via the same sequential left-fold as
+    ``ivf_assign_udf`` (bit-exact), nearest-list rank with centroid-id
+    tie-break, candidate list = rank 1, query probes = rank <= n_probe,
+    then the probe-restricted cosine top-k exactly as ``ann_topk``."""
+    cents = similarity.ivf_fixed_centroids(dim=dim, n_lists=n_lists)
+
+    def cdot(j):
+        lit = "[" + ", ".join(repr(w) for w in cents[j]) + "]"
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range({dim}), i -> "
+            f"CAST(embedding[i + 1] AS DOUBLE) * ({lit})[i + 1])), (a, b) -> a + b)"
+        )
+
+    sim_cols = ",\n                   ".join(
+        f"{cdot(j)} AS s{j}" for j in range(n_lists))
+    unions = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS cl, s{j} AS sim FROM sims"
+        for j in range(n_lists))
+    return f"""
+        WITH sims AS (
+            SELECT vec_id, {sim_cols}
+            FROM embeddings
+        ), unp AS ({unions}),
+        ranked_cl AS (
+            SELECT vec_id, cl, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cl ASC) AS r
+            FROM unp
+        ),
+        cand AS (SELECT vec_id, cl FROM ranked_cl WHERE r = 1),
+        probes AS (SELECT vec_id, cl FROM ranked_cl WHERE r <= {n_probe}),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   round(list_cosine_similarity(
+                       list_transform(qe.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(ce.embedding, x -> CAST(x AS DOUBLE))), 4) AS cos
+            FROM probes q
+            JOIN cand c ON q.cl = c.cl AND q.vec_id <> c.vec_id
+            JOIN embeddings qe ON qe.vec_id = q.vec_id
+            JOIN embeddings ce ON ce.vec_id = c.vec_id
+            WHERE q.vec_id < 5
+        ), ranked AS (
+            SELECT query_id, cand_id, cos, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def _gopher_oracle() -> str:
     return """
         WITH w AS (
@@ -408,6 +477,7 @@ DATAPIPE_ORACLES = {
         SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 3
     """,
     "ann_lsh": _ann_lsh_oracle(),
+    "ann_ivf": _ann_ivf_oracle(),
     "multimodal_features": _multimodal_oracle(),
     "lang_id": _lang_id_oracle(),
     "token_count": f"""

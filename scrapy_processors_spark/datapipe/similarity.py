@@ -288,8 +288,14 @@ def ivf_assign_udf(centroids: np.ndarray, n_probe: int = 1):
     """Arrow UDF: vector -> its ``n_probe`` nearest centroid ids by cosine
     (centroids are unit vectors, so argmax dot), nearest first, ties broken
     by centroid id.  Per-row output depends only on that row — deterministic
-    under any partitioning.  BLAS matmul is fine here (unlike the LSH bucket
-    UDF there is no sign-at-zero oracle to match bit-for-bit)."""
+    under any partitioning.
+
+    r05: the dots are RAW (unnormalized) and accumulate PER DIMENSION —
+    the row norm is a positive per-row constant, so the nearest-centroid
+    ORDER is identical to the cosine argsort, while each sim becomes the
+    exact sequential left-fold a SQL ``list_reduce`` replays bit-for-bit
+    (same trick as ``lsh_buckets_udf``).  That makes pinned-centroid IVF
+    assignment oracle-replayable (``ann_ivf``)."""
     cents = np.asarray(centroids, dtype=np.float64)
     kp = min(n_probe, cents.shape[0])
 
@@ -298,14 +304,46 @@ def ivf_assign_udf(centroids: np.ndarray, n_probe: int = 1):
         if not len(vecs):  # empty Arrow batch: np.array([]) is 1-D
             return pd.Series([], dtype=object)
         v = np.array(vecs.to_list(), dtype=np.float64)  # (n, dim)
-        norms = np.linalg.norm(v, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        sims = (v / norms) @ cents.T  # (n, n_lists)
+        sims = np.zeros((v.shape[0], cents.shape[0]), dtype=np.float64)
+        for i in range(v.shape[1]):
+            sims = sims + v[:, i:i + 1] * cents[:, i][None, :]
         # stable argsort desc: (-sim, centroid_id) lexicographic
         order = np.argsort(-sims, axis=1, kind="stable")[:, :kp].astype(np.int32)
         return pd.Series(list(order))
 
     return assign
+
+
+def ivf_fixed_centroids(dim: int = 64, n_lists: int = 8) -> np.ndarray:
+    """Deterministic md5-derived unit centroids for PINNED-index IVF — the
+    same byte construction as ``_hyperplane`` under a distinct seed
+    namespace, L2-normalized (np.sqrt is correctly rounded, so the doubles
+    are platform-stable and their ``repr``s round-trip into SQL literals).
+
+    These are random sphere directions, not data-derived: assignment
+    quality is that of a random partition (fine for verifying the IVF
+    MECHANICS — assignment fold, probe equi-join, rank — which is what the
+    ``ann_ivf`` oracle row checks).  Production indexes use the Lloyd
+    centroids of ``ivf_centroids``, whose recall is measured by
+    ``ivf_recall`` in bench.py."""
+    import hashlib
+
+    rows = []
+    for j in range(n_lists):
+        vals: list = []
+        i = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"ivf-cent-{j}-{i}".encode()).digest()
+            for b in h:
+                vals.append((b / 255.0) - 0.5)
+                if len(vals) == dim:
+                    break
+            i += 1
+        rows.append(vals)
+    m = np.array(rows, dtype=np.float64)
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
 
 
 def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 3,

@@ -34,6 +34,24 @@ def test_minhash_finds_exact_dups(docs):
     assert (0, 3) not in pairs and (1, 3) not in pairs
 
 
+def test_minhash_cache_bounded(spark, docs):
+    """VERDICT r04 #10: repeated minhash_pairs calls must not grow the
+    persisted-RDD set — each call releases the previous signatures cache,
+    and release_minhash_cache() drops the last one."""
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    dedup.release_minhash_cache()
+    base = n_cached()
+    counts = []
+    for _ in range(3):
+        dedup.minhash_pairs(docs).count()
+        counts.append(n_cached())
+    assert max(counts) <= base + 1, (base, counts)
+    dedup.release_minhash_cache()
+    assert n_cached() == base
+
+
 def test_simhash_identical_for_dups(docs):
     out = {r["doc_id"]: r["simhash"]
            for r in docs.select("doc_id", dedup.simhash16(F.col("text")).alias("simhash")).collect()}
