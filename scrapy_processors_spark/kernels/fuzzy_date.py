@@ -5,8 +5,10 @@ dependency, ``single_value.py:794-868``) for the locales and shapes the
 reference test-suite exercises — en/fr/es/pt month names, weekday prefixes,
 numeric M/D/Y, 12h/24h times (``tests/test_single_value.py:545-577``) —
 plus de/it month-name dates (scope widened per round-1 review), nl/sv
-(round 3), ja numeric-unit dates + pl/tr month names (round 4), and
-ru/fi month names (round 4 widening #2).
+(round 3), ja numeric-unit dates + pl/tr month names (round 4),
+ru/fi month names (round 4 widening #2), and ko numeric-unit dates +
+cs/da month names (round 5).  zh dates use the same 年月日/時分秒
+characters as ja, so the ja regex covers them.
 Full dateparser parity is explicitly out of scope (SURVEY.md §2.3 #13).
 
 Month/day-name tables are public CLDR vocabulary.
@@ -79,6 +81,18 @@ _MONTHS = {
     "heinakuuta": 7, "heinakuu": 7, "elokuuta": 8, "elokuu": 8,
     "syyskuuta": 9, "syyskuu": 9, "lokakuuta": 10, "lokakuu": 10,
     "marraskuuta": 11, "marraskuu": 11, "joulukuuta": 12, "joulukuu": 12,
+    # cs (r05 widening) — genitive (the form dates use: "5. brezna 2024") +
+    # nominative; accent-folded (ú->u, ě->e, č->c, ř->r, í->i, á->a, ž->z).
+    # "listopad"/"listopadu" shares the pl key (same month, 11).
+    "ledna": 1, "leden": 1, "unora": 2, "unor": 2, "brezna": 3, "brezen": 3,
+    "dubna": 4, "duben": 4, "kvetna": 5, "kveten": 5, "cervna": 6,
+    "cerven": 6, "cervence": 7, "cervenec": 7, "srpna": 8, "srpen": 8,
+    "zari": 9, "rijna": 10, "rijen": 10, "listopadu": 11, "prosince": 12,
+    "prosinec": 12,
+    # da (r05) — "januar"/"februar"/"april"/"juni"/"juli"/"august"/
+    # "september"/"oktober"/"november"/"december" shared with de/sv/nl;
+    # only the genuinely Danish forms are new ("marts", "maj" via sv)
+    "marts": 3,
 }
 
 _WEEKDAYS = {
@@ -104,6 +118,10 @@ _WEEKDAYS = {
     # fi
     "maanantai", "tiistai", "keskiviikko", "torstai", "perjantai", "lauantai",
     "sunnuntai",
+    # cs (r05; folded: pondělí -> pondeli, útery -> utery, čtvrtek -> ctvrtek)
+    "pondeli", "utery", "streda", "ctvrtek", "patek", "sobota", "nedele",
+    # da (r05; mandag/onsdag/torsdag/fredag/lordag/sondag shared with sv)
+    "tirsdag",
 }
 
 _FILLER = {"le", "la", "el", "a", "at", "on", "the", "de", "del", "em", "às", "as"}
@@ -118,6 +136,13 @@ _APM_RE = re.compile(r"\b(am|pm)\b", re.IGNORECASE)
 _JA_RE = re.compile(
     r"(\d{4})年\s*(\d{1,2})月\s*(\d{1,2})日"
     r"(?:\s*(\d{1,2})時(?:\s*(\d{1,2})分)?(?:\s*(\d{1,2})秒)?)?")
+
+# ko numeric-unit date/time (r05): 2024년 3월 5일 [14시 30분[ 15초]] —
+# dateparser's ko locale parses the same unit-suffixed numerals; the
+# spacing between units is conventional but optional, like ja.
+_KO_RE = re.compile(
+    r"(\d{4})년\s*(\d{1,2})월\s*(\d{1,2})일"
+    r"(?:\s*(\d{1,2})시(?:\s*(\d{1,2})분)?(?:\s*(\d{1,2})초)?)?")
 
 
 def _fold(s: str) -> str:
@@ -136,7 +161,10 @@ def parse_fuzzy_datetime(value: str, languages: Optional[List[str]] = None) -> O
         return None
     s = _fold(value).lower()
 
-    jm = _JA_RE.search(s)
+    # ko runs on the UNFOLDED value: NFD decomposes Hangul syllables into
+    # conjoining jamo (category Lo, which the fold keeps), so the
+    # precomposed 년/월/일 in the pattern would never match the folded s
+    jm = _JA_RE.search(s) or _KO_RE.search(value.lower())
     if jm:
         try:
             return datetime(int(jm.group(1)), int(jm.group(2)),

@@ -7,6 +7,10 @@ for the regions its test-suite exercises (NANP/US and GB,
 numbers.  Full libphonenumber parity is explicitly out of scope
 (SURVEY.md §2.3 #18); scope is documented here and in the op docstring.
 
+r05 widening (VERDICT r04 #8): digit-pattern validation (not just length)
+for the big non-European plans BR/JP/CN/MX, and six new regions
+(ZA/SG/NZ/ID/AE/AR).
+
 Number formats mirror ``phonenumbers.PhoneNumberFormat`` integer values.
 """
 
@@ -62,6 +66,32 @@ _CC_RULES = {
     "351": (9, 9),
     "353": (7, 9),
     "82": (9, 10),
+    # r05 widening (VERDICT r04 #8): non-European plans
+    "27": (9, 9),
+    "65": (8, 8),
+    "64": (8, 10),
+    "62": (8, 12),
+    "971": (8, 9),
+    "54": (10, 10),
+}
+
+# Digit-pattern validation beyond length, applied at VALID leniency (the
+# NANP rule above is the cc=1 case).  Only crisp, stable plan rules are
+# encoded — the kind libphonenumber's VALID leniency also enforces:
+#   BR: 11-digit numbers are mobiles and carry the 2016 "ninth digit"
+#       (3rd digit 9); 10-digit landlines start [2-5] after the area code.
+#   JP: national numbers are 9 digits (landline) or 10 digits starting
+#       70/80/90 (mobile/paging) once the trunk 0 is stripped.
+#   CN: mobiles are 11 digits starting 1[3-9]; landlines 10-11 digits
+#       with a nonzero area code.
+#   MX: uniform 10-digit plan, nonzero leading digit.
+_CC_PATTERNS = {
+    "55": re.compile(r"^(?:\d{2}9\d{8}|[1-9]\d[2-5]\d{7})$"),
+    "81": re.compile(r"^(?:[1-9]\d{8}|[789]0\d{8})$"),
+    # 1[3-9]: 11-digit mobile; 10: Beijing; 2x: 2-digit metro codes;
+    # [3-9]xx: 3-digit area codes with 7-8 digit subscribers
+    "86": re.compile(r"^(?:1[3-9]\d{9}|10\d{8}|2\d{9}|[3-9]\d{9,10})$"),
+    "52": re.compile(r"^[1-9]\d{9}$"),
 }
 
 _REGION_CC = {"US": "1", "CA": "1", "GB": "44", "FR": "33", "DE": "49",
@@ -69,7 +99,9 @@ _REGION_CC = {"US": "1", "CA": "1", "GB": "44", "FR": "33", "DE": "49",
               "AU": "61", "BR": "55", "RU": "7", "MX": "52", "NL": "31",
               "SE": "46", "PL": "48", "TR": "90", "CH": "41", "BE": "32",
               "AT": "43", "DK": "45", "NO": "47", "PT": "351", "IE": "353",
-              "KR": "82"}
+              "KR": "82",
+              "ZA": "27", "SG": "65", "NZ": "64", "ID": "62", "AE": "971",
+              "AR": "54"}
 
 #: phonenumbers.Leniency subset: POSSIBLE (0) = length-only checks,
 #: VALID (1, the matcher default) = full pattern validation.  The stricter
@@ -87,6 +119,9 @@ def _split_cc(digits: str, possible: bool = False) -> Optional[tuple]:
             national = digits[cc_len:]
             if lo <= len(national) <= hi:
                 if cc == "1" and not possible and not _NANP_RE.match(national):
+                    continue
+                pat = _CC_PATTERNS.get(cc)
+                if pat is not None and not possible and not pat.match(national):
                     continue
                 return cc, national
     return None
@@ -118,6 +153,9 @@ def _validate(candidate: str, region: str,
     if digits.startswith("0"):
         digits = digits[1:]
     if lo <= len(digits) <= hi:
+        pat = _CC_PATTERNS.get(cc)
+        if pat is not None and not possible and not pat.match(digits):
+            return None
         return cc, digits
     return None
 

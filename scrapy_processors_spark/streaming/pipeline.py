@@ -9,6 +9,15 @@ watermarked late data) use the standard windowed-aggregation pattern.
 The crawl frontier itself deliberately stays an *iterative batch* loop
 (SURVEY.md §2.6): crawl rounds are natural barriers and resume-exactly
 favours explicit snapshots over streaming state stores.
+
+State-store provider: both the watermarked aggregation here and the
+stateful dedup in ``stateful.py`` run on the session's configured provider
+(``spark.sql.streaming.stateStore.providerClass``).  Use
+``stateful.STATE_STORE_PROVIDERS["rocksdb"]`` (or pass
+``state_store="rocksdb"`` to ``dedup_urls_stream_to_parquet``) when state
+outgrows executor memory — RocksDB keeps a disk-backed working set instead
+of HDFSBacked's all-in-RAM retention.  The checkpoint pins the provider at
+first start.
 """
 
 from __future__ import annotations

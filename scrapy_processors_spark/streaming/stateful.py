@@ -75,8 +75,25 @@ def dedup_urls_stream(urls: DataFrame, n_buckets: int = 64) -> DataFrame:
     )
 
 
+# State-store provider classes (public Spark names).  HDFSBacked (the
+# default) keeps every bucket's full state in executor memory between
+# micro-batches — fine for the bounded-window scope documented above, but
+# the retention cost is O(total state) in RAM.  RocksDB spills state to
+# local disk with an in-memory working set, the right provider when
+# per-bucket seen-sets outgrow executor memory.  The provider is pinned by
+# the checkpoint at FIRST query start: Spark refuses to reload a
+# checkpoint under a different provider, so choose before going live.
+STATE_STORE_PROVIDERS = {
+    "hdfs": ("org.apache.spark.sql.execution.streaming."
+             "state.HDFSBackedStateStoreProvider"),
+    "rocksdb": ("org.apache.spark.sql.execution.streaming."
+                "state.RocksDBStateStoreProvider"),
+}
+
+
 def dedup_urls_stream_to_parquet(urls: DataFrame, out_dir: str,
-                                 checkpoint_dir: str, n_buckets: int = 64):
+                                 checkpoint_dir: str, n_buckets: int = 64,
+                                 state_store: str = None):
     """Run the stateful dedup with a RESTARTABLE sink.
 
     The ``memory``/``console`` sinks refuse checkpoint recovery
@@ -84,7 +101,15 @@ def dedup_urls_stream_to_parquet(urls: DataFrame, out_dir: str,
     cross-run state restore requires a fault-tolerant sink: ``foreachBatch``
     appending parquet is the production shape (idempotence per epoch is the
     caller's concern; availableNow + clean termination gives exactly-once
-    here).  Returns the started StreamingQuery."""
+    here).  Returns the started StreamingQuery.
+
+    ``state_store``: ``"hdfs"`` | ``"rocksdb"`` | a provider class name |
+    None (leave the session conf untouched).  Set session-wide because the
+    provider is a SQLConf read at query start, not a writeStream option."""
+    if state_store is not None:
+        urls.sparkSession.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            STATE_STORE_PROVIDERS.get(state_store, state_store))
     deduped = dedup_urls_stream(urls, n_buckets)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:

@@ -60,10 +60,18 @@ def run_level(cores: int) -> dict:
     from scrapy_processors_spark.session import get_spark
     from scrapy_processors_spark.streaming.stateful import dedup_urls_stream
 
+    extra_conf = {"spark.sql.adaptive.enabled": "false"}
+    # r05: optional provider override (hdfs | rocksdb | class name) so the
+    # stream bench can measure the disk-backed store too
+    prov = os.environ.get("SPARK_GRAFT_STREAM_STATE_STORE")
+    if prov:
+        from scrapy_processors_spark.streaming.stateful import STATE_STORE_PROVIDERS
+        extra_conf["spark.sql.streaming.stateStore.providerClass"] = \
+            STATE_STORE_PROVIDERS.get(prov, prov)
     spark = get_spark(master=f"local[{cores}]",
                       app_name=f"stream-bench-{cores}",
                       shuffle_partitions=cores,
-                      extra_conf={"spark.sql.adaptive.enabled": "false"})
+                      extra_conf=extra_conf)
     work = tempfile.mkdtemp(prefix=f"streambench{cores}_")
     src = os.path.join(work, "in")
     try:

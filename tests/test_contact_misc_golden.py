@@ -222,3 +222,42 @@ def test_phone_numbers_more_regions_r04():
     assert PhoneNumbers().process_value("+351 21 342 65 06") == ["+351213426506"]
     assert PhoneNumbers().process_value("+353 1 619 4000") == ["+35316194000"]
     assert PhoneNumbers().process_value("+82 2 1234 5678") == ["+82212345678"]
+
+
+def test_phone_numbers_patterns_and_regions_r05():
+    # r05 widening (VERDICT r04 #8): digit-pattern validation for the big
+    # non-European plans — not just length rules
+    # BR: 11-digit mobiles carry the ninth digit (3rd digit 9)
+    assert PhoneNumbers(region="BR").process_value(
+        "ligue (11) 98765-4321") == ["+5511987654321"]
+    assert PhoneNumbers(region="BR").process_value(
+        "11 3256-7890") == ["+551132567890"]
+    assert PhoneNumbers(region="BR").process_value(
+        "(11) 88765-4321") == []  # 11 digits without the ninth-digit 9
+    # JP: mobiles are 0[789]0 + 8 digits; landlines 10 digits with trunk 0
+    assert PhoneNumbers(region="JP").process_value(
+        "090-1234-5678") == ["+819012345678"]
+    assert PhoneNumbers(region="JP").process_value(
+        "03-1234-5678") == ["+81312345678"]
+    assert PhoneNumbers(region="JP").process_value(
+        "060-1234-5678") == []  # 060 is unassigned mobile space
+    # CN: 11-digit numbers starting 1 must be 1[3-9] mobiles
+    assert PhoneNumbers(region="CN").process_value(
+        "13812345678") == ["+8613812345678"]
+    assert PhoneNumbers(region="CN").process_value("12812345678") == []
+    assert PhoneNumbers(region="CN").process_value(
+        "010-1234-5678") == ["+861012345678"]
+    # POSSIBLE leniency keeps length-only semantics
+    assert PhoneNumbers(region="BR", leniency="POSSIBLE").process_value(
+        "(11) 88765-4321") == ["+5511887654321"]
+    # six new regions: ZA/SG/NZ/ID/AE/AR
+    assert PhoneNumbers(region="ZA").process_value(
+        "021 123 4567") == ["+27211234567"]
+    assert PhoneNumbers(region="SG").process_value(
+        "6123 4567") == ["+6561234567"]
+    assert PhoneNumbers(region="NZ").process_value(
+        "09 123 4567") == ["+6491234567"]
+    assert PhoneNumbers(region="ID").process_value(
+        "021 1234 5678") == ["+622112345678"]
+    assert PhoneNumbers().process_value("+971 4 123 4567") == ["+97141234567"]
+    assert PhoneNumbers().process_value("+54 11 1234-5678") == ["+541112345678"]

@@ -144,6 +144,17 @@ DTE_CASES = [
      datetime(2021, 3, 5, 20, 30, tzinfo=UTC)),
     ("15 lokakuuta 2019", {"languages": ["fi"]},
      datetime(2019, 10, 15, 5, 0, tzinfo=UTC)),
+    # ko numeric-unit dates + cs/da month names (r05 widening; VERDICT r04 #6)
+    ("2024년 3월 5일", {"languages": ["ko"]},
+     datetime(2024, 3, 5, 6, 0, tzinfo=UTC)),  # CST: UTC-6
+    ("2024년 3월 5일 14시 30분 15초", {"languages": ["ko"]},
+     datetime(2024, 3, 5, 20, 30, 15, tzinfo=UTC)),
+    ("pondělí 1. března 2021, 14:30", {"languages": ["cs"]},
+     datetime(2021, 3, 1, 20, 30, tzinfo=UTC)),
+    ("31. prosince 1999", {"languages": ["cs"]},
+     datetime(1999, 12, 31, 6, 0, tzinfo=UTC)),
+    ("tirsdag 5. marts 2024, 10:00", {"languages": ["da"]},
+     datetime(2024, 3, 5, 16, 0, tzinfo=UTC)),
 ]
 
 

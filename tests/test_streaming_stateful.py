@@ -12,13 +12,30 @@ from pyspark.sql import functions as F
 from scrapy_processors_spark.streaming.stateful import dedup_urls_stream_to_parquet
 
 
-def _run_once(spark, src, out, ckpt):
+def _run_once(spark, src, out, ckpt, state_store=None):
     stream = spark.readStream.schema("url string").parquet(src)
-    q = dedup_urls_stream_to_parquet(stream, out, ckpt)
+    q = dedup_urls_stream_to_parquet(stream, out, ckpt, state_store=state_store)
     q.awaitTermination(180)
 
 
-def test_streaming_dedup_across_batches(spark, tmp_path):
+@pytest.fixture
+def _restore_state_store_conf(spark):
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    yield
+    if prev is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, prev)
+
+
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_streaming_dedup_across_batches(spark, tmp_path, provider,
+                                        _restore_state_store_conf):
+    """Restart-resume under BOTH state-store providers (VERDICT r04 #9):
+    RocksDB spills state to local disk, closing the HDFSBacked
+    memory-retention caveat; the checkpoint pins the provider, so each
+    parametrization uses its own checkpoint dir (tmp_path is per-param)."""
     src = str(tmp_path / "in")
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
@@ -26,7 +43,7 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     batch1 = spark.createDataFrame(
         [(f"https://h{i % 5}.ex.com/p/{i}",) for i in range(20)], "url string")
     batch1.coalesce(1).write.mode("append").parquet(src)
-    _run_once(spark, src, out, ckpt)
+    _run_once(spark, src, out, ckpt, state_store=provider)
     out1 = spark.read.parquet(out)
     assert out1.count() == 20
 
@@ -36,7 +53,7 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
         [(f"https://h{i % 5}.ex.com/p/{i}",) for i in range(10)]
         + [(f"https://h9.ex.com/new/{i}",) for i in range(5)], "url string")
     batch2.coalesce(1).write.mode("append").parquet(src)
-    _run_once(spark, src, out, ckpt)
+    _run_once(spark, src, out, ckpt, state_store=provider)
 
     rows = spark.read.parquet(out).select("url").collect()
     urls = [r["url"] for r in rows]
