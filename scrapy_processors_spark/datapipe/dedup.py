@@ -80,11 +80,20 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     tree grows ~linearly with num_hashes and its driver-side analysis is a
     serial floor, BENCH.md §4); 'kernel' = one Arrow UDF (ms compile, one
     batch pass); 'auto' = kernel at >= 8 permutations.  Both produce
-    identical bytes (tests enforce)."""
+    identical bytes (tests enforce).
+
+    'lanes' (r05, the scale path) switches hash FAMILY: hash j is the
+    8-hex span [8*(j%4), 8*(j%4)+8) of md5(shingle [|| '#'+group]) —
+    ceil(num_hashes/4) md5 calls per shingle instead of num_hashes, via
+    the adaptive Arrow kernel (``minhash_lanes_kernel``: batch-level
+    distinct-shingle hashing when the batch is dup-heavy).  Equally valid
+    minhashes, but signatures are NOT comparable across families — pick
+    one per signature table."""
     if impl == "auto":
         impl = "kernel" if num_hashes >= 8 else "expr"
-    if impl == "kernel":
-        k = minhash_kernel(num_hashes, shingle_n)
+    if impl in ("kernel", "lanes"):
+        k = (minhash_lanes_kernel(num_hashes, shingle_n) if impl == "lanes"
+             else minhash_kernel(num_hashes, shingle_n))
         sig = df.select(F.col(id_col).alias("id"),
                         k(F.col(text_col)).alias("_mh"))
         return sig.select(
@@ -112,9 +121,12 @@ def release_minhash_cache() -> None:
 
 def minhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   num_hashes: int = 4, bands: int = 2,
-                  shingle_n: int = 2) -> DataFrame:
+                  shingle_n: int = 2, impl: str = "auto") -> DataFrame:
     """Candidate near-dup pairs: union over bands of equi-joins on the band
-    key (concatenated minhashes), de-duplicated.
+    key (concatenated minhashes), de-duplicated.  ``impl`` selects the
+    signature implementation/family (see ``minhash_signatures``); candidate
+    sets differ across families only as any two independent minhash draws
+    do.
 
     Caller contract: the signatures table is persisted lazily and stays
     cached until the next ``minhash_pairs`` call or an explicit
@@ -122,7 +134,8 @@ def minhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     2*bands self-join scans recompute the md5 folds (at warehouse scale
     this is a persisted signatures table)."""
     release_minhash_cache()
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
+                              impl=impl)
     sigs = sigs.persist()
     _minhash_sigs_cache.append(sigs)
     rows_per_band = num_hashes // bands
@@ -350,7 +363,62 @@ def minhash_lanes_kernel(num_hashes: int = 4, shingle_n: int = 2):
                 out.extend(format(int(m), "08x") for m in digs.min(axis=0))
             return out[:num_hashes]
 
-        return s.map(one)
+        # r05 (VERDICT r04 #3): adaptive batch-level shingle dedup.  Real
+        # web-doc batches repeat shingles heavily ACROSS rows (measured
+        # 96.6%% dup on the documents table), so hashing each distinct
+        # shingle once per batch cuts the md5 term ~20x there; the bench
+        # crawl's synthetic pages are ~99%% distinct, where the dict build
+        # is pure overhead (measured 1.7x slower).  A cheap cross-row
+        # probe on the first ~4000 occurrences picks the strategy; the
+        # min over a row's shingle multiset equals the min over gathered
+        # distinct-digest rows, so both paths are value-identical.
+        texts = s.tolist()
+        probe_occ = 0
+        probe_uniq: set = set()
+        for text in texts[:20]:
+            if text is None:
+                continue
+            ss = _shingles_py(text, shingle_n)
+            probe_occ += len(ss)
+            probe_uniq.update(ss)
+            if probe_occ >= 4000:
+                break
+        if probe_occ == 0 or len(probe_uniq) / probe_occ >= 0.8:
+            return pd.Series([one(t) for t in texts], index=s.index)
+
+        uniq: dict = {}
+        row_ids = []
+        for text in texts:
+            if text is None:
+                row_ids.append(None)
+                continue
+            ids = []
+            for sh in _shingles_py(text, shingle_n):
+                i = uniq.get(sh)
+                if i is None:
+                    i = len(uniq)
+                    uniq[sh] = i
+                ids.append(i)
+            row_ids.append(np.asarray(ids, dtype=np.int64))
+
+        digs = []
+        enc = [sh.encode("utf-8") for sh in uniq]
+        for suf in suffixes:
+            digs.append(np.frombuffer(
+                b"".join(md5(e + suf).digest() for e in enc),
+                dtype=">u4").reshape(-1, 4))
+
+        out = []
+        for ids in row_ids:
+            if ids is None:
+                out.append(None)
+                continue
+            vals: list = []
+            for dg in digs:
+                vals.extend(format(int(m), "08x")
+                            for m in dg[ids].min(axis=0))
+            out.append(vals[:num_hashes])
+        return pd.Series(out, index=s.index)
 
     return kernel
 

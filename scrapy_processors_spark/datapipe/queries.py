@@ -24,8 +24,14 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
+    """r05: lanes family (one md5 per shingle, four 32-bit lanes from the
+    digest) through the adaptive Arrow kernel — replaces the interpreted
+    F.transform/array_min fold path that was the last CodegenFallback HOF
+    in a driver-query hot loop; the oracle replays the same family with
+    DuckDB list_min/list_transform."""
     return dedup.minhash_pairs(_t(spark, sf_dir, "documents"),
-                               num_hashes=4, bands=2, shingle_n=2)
+                               num_hashes=4, bands=2, shingle_n=2,
+                               impl="lanes")
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -201,8 +207,11 @@ _SHINGLES = """
 
 
 def _minhash_oracle() -> str:
+    # lanes family (r05, matching q_dedup_minhash impl="lanes"): hash j is
+    # the 8-hex span [8*j, 8*j+8) of ONE md5(shingle) — lexicographic min
+    # on the hex span == numeric min on those 32 digest bits
     mh = ",\n               ".join(
-        f"list_min(list_transform(shingles, s -> substr(md5(s || '#{j}'), 1, 8))) AS mh_{j}"
+        f"list_min(list_transform(shingles, s -> substr(md5(s), {1 + 8 * j}, 8))) AS mh_{j}"
         for j in range(4)
     )
     return f"""

@@ -69,11 +69,16 @@ def main():
         ("ReadSchema pruned to 2 cols", lambda p: "struct<doc_id:bigint,n_chars:" in p),
     ])
 
-    # 4. minhash band join: shuffle join on band key, AQE enabled
+    # 4. minhash band join: shuffle join on band key, AQE enabled; r05 the
+    # signatures come from the lanes Arrow kernel (one fused ArrowEvalPython,
+    # computed once thanks to the persisted signatures table), never a
+    # row-at-a-time BatchEvalPython
     mh = qs["dedup_minhash"](spark, sf_dir)
     add("dedup_minhash (LSH band join)", mh, [
         ("AQE enabled", lambda p: "AdaptiveSparkPlan" in p),
-        ("no Python eval nodes", lambda p: "Python" not in p),
+        ("exactly one ArrowEvalPython (lanes kernel)",
+         lambda p: len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1),
+        ("no row-based Python eval", lambda p: "BatchEvalPython" not in p),
     ])
 
     # 5. ann_topk: broadcast of the small query side

@@ -341,6 +341,36 @@ def test_minhash_lanes_kernel_matches_expr(spark):
                 assert r["kern"][i] == r[f"e{i}"], (r["doc_id"], num_hashes, i)
 
 
+def test_minhash_lanes_kernel_adaptive_paths(spark):
+    """r05: the kernel's batch-level distinct-shingle dedup is picked by a
+    cross-row probe; BOTH branches must match the Column spec.  Batch A is
+    dup-heavy (shared tiny vocab -> dedupe branch), batch B is all-distinct
+    shingles (-> per-occurrence branch); values must be identical either
+    way."""
+    dup_rows = [(i, "alpha beta gamma delta " * 10) for i in range(30)]
+    uniq_rows = [(i, " ".join(f"tok{i}_{j}" for j in range(40)))
+                 for i in range(30)]
+    for rows in (dup_rows, uniq_rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+        k = dedup.minhash_lanes_kernel(num_hashes=4, shingle_n=2)
+        sh = dedup.word_shingles(F.col("text"), 2)
+        expr_cols = [dedup.minhash_lanes_column(sh, lane=i).alias(f"e{i}")
+                     for i in range(4)]
+        for r in df.select(k(F.col("text")).alias("kern"), *expr_cols).collect():
+            for i in range(4):
+                assert r["kern"][i] == r[f"e{i}"]
+
+
+def test_minhash_pairs_impls_find_exact_dups(docs):
+    """All three signature impls/families produce candidate sets containing
+    the exact duplicates (family changes which NEAR-dups collide, never
+    whether identical texts do)."""
+    for impl in ("expr", "kernel", "lanes"):
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in dedup.minhash_pairs(docs, impl=impl).collect()}
+        assert (0, 1) in pairs, impl
+
+
 def test_cosine_kernels_match_folds(spark):
     """r05: the Arrow dot/norm kernels must be value-IDENTICAL (bit-exact,
     not approximately equal) to the F.aggregate fold spec — the kernel
