@@ -181,6 +181,40 @@ def _format(cc: str, national: str, num_format: int) -> str:
         if num_format == PhoneNumberFormat.NATIONAL:
             return f"0{groups}"
         return f"+44 {groups}"
+    # r05: national/international grouping for the plans whose grouping is
+    # uniform enough to be crisp (libphonenumber metadata conventions);
+    # other regions keep the bare-national fallback below (documented
+    # subset).
+    if cc == "33" and len(national) == 9:
+        # FR: 0X XX XX XX XX / +33 X XX XX XX XX
+        groups = " ".join([national[0]] + [national[i:i + 2]
+                                           for i in range(1, 9, 2)])
+        if num_format == PhoneNumberFormat.NATIONAL:
+            return f"0{groups}"
+        return f"+33 {groups}"
+    if cc == "61" and len(national) == 9:
+        # AU: 0X XXXX XXXX / +61 X XXXX XXXX
+        groups = f"{national[0]} {national[1:5]} {national[5:]}"
+        if num_format == PhoneNumberFormat.NATIONAL:
+            return f"0{groups}"
+        return f"+61 {groups}"
+    if cc == "81" and len(national) in (9, 10):
+        # JP: mobiles (10 digits, [789]0 prefix) 090-1234-5678; 9-digit
+        # landlines grouped for the 1-digit metro codes (03/06) 03-1234-5678
+        if len(national) == 10:
+            groups = f"{national[:2]}-{national[2:6]}-{national[6:]}"
+        else:
+            groups = f"{national[0]}-{national[1:5]}-{national[5:]}"
+        if num_format == PhoneNumberFormat.NATIONAL:
+            return f"0{groups}"
+        return f"+81 {groups}"
+    if cc == "55" and len(national) in (10, 11):
+        # BR: (11) 98765-4321 / (11) 3256-7890; international drops the ()
+        area, sub = national[:2], national[2:]
+        hyph = f"{sub[:-4]}-{sub[-4:]}"
+        if num_format == PhoneNumberFormat.NATIONAL:
+            return f"({area}) {hyph}"
+        return f"+55 {area} {hyph}"
     if num_format == PhoneNumberFormat.NATIONAL:
         return national
     return f"+{cc} {national}"

@@ -261,3 +261,25 @@ def test_phone_numbers_patterns_and_regions_r05():
         "021 1234 5678") == ["+622112345678"]
     assert PhoneNumbers().process_value("+971 4 123 4567") == ["+97141234567"]
     assert PhoneNumbers().process_value("+54 11 1234-5678") == ["+541112345678"]
+
+
+def test_phone_numbers_formatting_r05():
+    # r05: NATIONAL/INTERNATIONAL grouping for FR/AU/JP/BR (crisp uniform
+    # plans); other regions keep the bare-national fallback
+    N, I = PhoneNumberFormat.NATIONAL, PhoneNumberFormat.INTERNATIONAL
+    assert PhoneNumbers(region="FR", num_format=N).process_value(
+        "01 42 68 53 00") == ["01 42 68 53 00"]
+    assert PhoneNumbers(region="FR", num_format=I).process_value(
+        "01 42 68 53 00") == ["+33 1 42 68 53 00"]
+    assert PhoneNumbers(region="AU", num_format=N).process_value(
+        "02 9374 4000") == ["02 9374 4000"]
+    assert PhoneNumbers(region="AU", num_format=I).process_value(
+        "02 9374 4000") == ["+61 2 9374 4000"]
+    assert PhoneNumbers(region="JP", num_format=N).process_value(
+        "090-1234-5678") == ["090-1234-5678"]
+    assert PhoneNumbers(region="JP", num_format=I).process_value(
+        "03-1234-5678") == ["+81 3-1234-5678"]
+    assert PhoneNumbers(region="BR", num_format=N).process_value(
+        "(11) 98765-4321") == ["(11) 98765-4321"]
+    assert PhoneNumbers(region="BR", num_format=I).process_value(
+        "11 3256-7890") == ["+55 11 3256-7890"]
