@@ -6,9 +6,10 @@ reference test-suite exercises — en/fr/es/pt month names, weekday prefixes,
 numeric M/D/Y, 12h/24h times (``tests/test_single_value.py:545-577``) —
 plus de/it month-name dates (scope widened per round-1 review), nl/sv
 (round 3), ja numeric-unit dates + pl/tr month names (round 4),
-ru/fi month names (round 4 widening #2), and ko numeric-unit dates +
-cs/da month names (round 5).  zh dates use the same 年月日/時分秒
-characters as ja, so the ja regex covers them.
+ru/fi month names (round 4 widening #2), ko numeric-unit dates +
+cs/da month names (round 5), and uk/el month names (round 5 widening
+#2).  zh dates use the same 年月日/時分秒 characters as ja, so the ja
+regex covers them.
 Full dateparser parity is explicitly out of scope (SURVEY.md §2.3 #13).
 
 Month/day-name tables are public CLDR vocabulary.
@@ -93,6 +94,22 @@ _MONTHS = {
     # "september"/"oktober"/"november"/"december" shared with de/sv/nl;
     # only the genuinely Danish forms are new ("marts", "maj" via sv)
     "marts": 3,
+    # uk (r05 widening #2) — genitive (dates: "5 березня 2021") +
+    # nominative; no month name carries й/ё so the NFD fold is a no-op
+    # ("листопад(а)" shares the pl/cs key, same month)
+    "січня": 1, "січень": 1, "лютого": 2, "лютий": 2, "березня": 3,
+    "березень": 3, "квітня": 4, "квітень": 4, "травня": 5, "травень": 5,
+    "червня": 6, "червень": 6, "липня": 7, "липень": 7, "серпня": 8,
+    "серпень": 8, "вересня": 9, "вересень": 9, "жовтня": 10, "жовтень": 10,
+    "грудня": 12, "грудень": 12,
+    # el (r05 widening #2) — genitive + nominative, tonos-folded (NFD
+    # strips the combining acute: ιανουαρίου -> ιανουαριου; μαΐου -> μαιου)
+    "ιανουαριου": 1, "ιανουαριος": 1, "φεβρουαριου": 2, "φεβρουαριος": 2,
+    "μαρτιου": 3, "μαρτιος": 3, "απριλιου": 4, "απριλιος": 4,
+    "μαιου": 5, "μαιος": 5, "ιουνιου": 6, "ιουνιος": 6,
+    "ιουλιου": 7, "ιουλιος": 7, "αυγουστου": 8, "αυγουστος": 8,
+    "σεπτεμβριου": 9, "σεπτεμβριος": 9, "οκτωβριου": 10, "οκτωβριος": 10,
+    "νοεμβριου": 11, "νοεμβριος": 11, "δεκεμβριου": 12, "δεκεμβριος": 12,
 }
 
 _WEEKDAYS = {
@@ -122,6 +139,13 @@ _WEEKDAYS = {
     "pondeli", "utery", "streda", "ctvrtek", "patek", "sobota", "nedele",
     # da (r05; mandag/onsdag/torsdag/fredag/lordag/sondag shared with sv)
     "tirsdag",
+    # uk (r05 #2; "п'ятниця" keeps its apostrophe through the tokenizer —
+    # unknown tokens are ignored by the parse loop, so it is harmless)
+    "понеділок", "вівторок", "середа", "четвер", "пятниця", "субота",
+    "неділя",
+    # el (r05 #2; tonos-folded)
+    "δευτερα", "τριτη", "τεταρτη", "πεμπτη", "παρασκευη", "σαββατο",
+    "κυριακη",
 }
 
 _FILLER = {"le", "la", "el", "a", "at", "on", "the", "de", "del", "em", "às", "as"}

@@ -155,6 +155,15 @@ DTE_CASES = [
      datetime(1999, 12, 31, 6, 0, tzinfo=UTC)),
     ("tirsdag 5. marts 2024, 10:00", {"languages": ["da"]},
      datetime(2024, 3, 5, 16, 0, tzinfo=UTC)),
+    # uk/el month-name dates (r05 widening #2)
+    ("п'ятниця, 5 березня 2021, 14:30", {"languages": ["uk"]},
+     datetime(2021, 3, 5, 20, 30, tzinfo=UTC)),  # CST: UTC-6
+    ("15 жовтня 2019", {"languages": ["uk"]},
+     datetime(2019, 10, 15, 5, 0, tzinfo=UTC)),  # CDT: UTC-5
+    ("Δευτέρα, 1 Μαρτίου 2021, 14:30", {"languages": ["el"]},
+     datetime(2021, 3, 1, 20, 30, tzinfo=UTC)),
+    ("12 Μαΐου 2020", {"languages": ["el"]},
+     datetime(2020, 5, 12, 5, 0, tzinfo=UTC)),
 ]
 
 
