@@ -388,6 +388,70 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int = 3,
     )
 
 
+def ivf_build_index(candidates: DataFrame, path: str,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_lists: int = 16, n_iters: int = 5,
+                    centroids: "np.ndarray | None" = None) -> None:
+    """Materialize the IVF index ONCE: the assigned candidate table
+    (id, vector, norm, cluster_id) is written as parquet PARTITIONED BY
+    cluster_id — at scale each inverted list is its own partition
+    directory, so a probe scan prunes to n_probe/n_lists of the data at
+    the FILE level — and the centroid matrix rides along as a tiny
+    ``_centroids`` subdirectory (row-per-centroid parquet; engine-portable,
+    no pickles).  ``ivf_search`` then serves any number of query batches
+    without recomputing assignments — the build-once/search-many split
+    ``ivf_topk``'s one-shot signature cannot express."""
+    cents = (np.asarray(centroids, dtype=np.float64) if centroids is not None
+             else ivf_centroids(candidates, n_lists=n_lists, n_iters=n_iters,
+                                id_col=id_col, vec_col=vec_col))
+    probe1 = ivf_assign_udf(cents, n_probe=1)
+    assigned = candidates.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
+        l2_norm_kernel(F.col(vec_col)).alias("cn"),
+        F.get(probe1(F.col(vec_col)), 0).alias("cluster_id"))
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+    spark = candidates.sparkSession
+    rows = [(int(j), [float(x) for x in cents[j]]) for j in range(cents.shape[0])]
+    spark.createDataFrame(rows, "cluster_id int, centroid array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivf_search(spark, path: str, queries: DataFrame, k: int = 3,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               n_probe: int = 4, round_digits: int = 4) -> DataFrame:
+    """Serve top-k from a materialized ``ivf_build_index`` directory.  The
+    probe restriction is a partition-pruned scan + broadcast equi-join on
+    cluster_id; scoring/rank semantics are identical to ``ivf_topk`` (same
+    kernels, same tie-break)."""
+    cent_rows = spark.read.parquet(f"{path}/_centroids").collect()
+    cents = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
+    for r in cent_rows:
+        cents[r["cluster_id"]] = r["centroid"]
+    proben = ivf_assign_udf(cents, n_probe=n_probe)
+
+    c = spark.read.parquet(path)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        l2_norm_kernel(F.col(vec_col)).alias("qn"),
+        F.explode(proben(F.col(vec_col))).alias("cluster_id"))
+    scored = (
+        F.broadcast(q).join(c, on="cluster_id")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "cand_id",
+            F.round(dot_product_kernel(F.col("qv"), F.col("cv"))
+                    / (F.col("qn") * F.col("cn")), round_digits).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
 def ivf_recall(queries: DataFrame, candidates: DataFrame, k: int = 3,
                exact: "DataFrame | None" = None, **ivf_kwargs) -> float:
     """recall@k of the IVF path vs the brute-force baseline (same contract

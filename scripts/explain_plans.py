@@ -81,6 +81,24 @@ def main():
         ("no row-based Python eval", lambda p: "BatchEvalPython" not in p),
     ])
 
+    # 4b. materialized IVF index: the probe join must dynamic-partition-prune
+    # the cluster_id-partitioned candidate scan (file-level pruning — the
+    # property that makes n_probe/n_lists the scan fraction at 100 TB)
+    import tempfile
+
+    from scrapy_processors_spark.datapipe import similarity as _sim
+    _idx = tempfile.mkdtemp() + "/ivf_idx"
+    _cents = _sim.ivf_fixed_centroids(dim=64, n_lists=8)
+    _emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _sim.ivf_build_index(_emb, _idx, n_lists=8, centroids=_cents)
+    ivfs = _sim.ivf_search(spark, _idx, _emb.where(F.col("vec_id") < 5),
+                           k=3, n_probe=2)
+    add("ivf_search (materialized index)", ivfs, [
+        ("dynamic partition pruning on cluster_id",
+         lambda p: "dynamicpruning" in p.lower()),
+        ("broadcast probe join", lambda p: "Broadcast" in p),
+    ])
+
     # 5. ann_topk: broadcast of the small query side
     ann = qs["ann_topk"](spark, sf_dir)
     add("ann_topk (broadcast small side)", ann, [

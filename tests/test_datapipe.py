@@ -136,6 +136,31 @@ def test_ivf_string_id(vecs):
     assert out and out[0]["cand_id"] == "doc-100"
 
 
+def test_ivf_index_build_search_equals_topk(spark, vecs, tmp_path):
+    """r05: the materialized index path (build once, search many) must
+    return exactly what the one-shot ivf_topk returns for the same
+    centroids/probes — and the candidate table must be partitioned by
+    cluster_id on disk (the file-level pruning that makes probes cheap at
+    scale).  The _centroids subdir is underscore-prefixed so the main
+    parquet read ignores it."""
+    import os
+    path = str(tmp_path / "ivf_index")
+    cents = similarity.ivf_fixed_centroids(dim=64, n_lists=8)
+    similarity.ivf_build_index(vecs, path, n_lists=8, centroids=cents)
+    assert any(d.startswith("cluster_id=") for d in os.listdir(path))
+
+    queries = vecs.where(F.col("vec_id") < 5)
+    got = sorted(
+        (r["query_id"], r["cand_id"], r["cos"], r["rank"])
+        for r in similarity.ivf_search(spark, path, queries, k=3,
+                                       n_probe=2).collect())
+    want = sorted(
+        (r["query_id"], r["cand_id"], r["cos"], r["rank"])
+        for r in similarity.ivf_topk(queries, vecs, k=3, n_lists=8,
+                                     n_probe=2, centroids=cents).collect())
+    assert got == want and got
+
+
 def test_simhash_kernel_matches_fold(docs):
     out = docs.select(
         "doc_id",
