@@ -219,6 +219,67 @@ def lsh_bucketed_topk(queries: DataFrame, candidates: DataFrame, k: int = 3,
 # accuracy is reported as recall@k vs the brute-force baseline, like LSH.
 
 
+def lsh_build_index(candidates: DataFrame, path: str,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int = 64, n_planes: int = 5,
+                    n_tables: int = 16) -> None:
+    """Materialize the exploded LSH candidate index ONCE (the IVF-style
+    build/search split ``lsh_bucketed_topk``'s docstring promises): rows
+    (cand_id, vector, norm) x (table_id, bucket), written as parquet
+    partitioned by (table_id, bucket) so a query's probe set prunes at the
+    file level.  The hyperplane family is fully determined by
+    (dim, n_planes, n_tables) — md5-seeded, no RNG — so only those three
+    ints ride along in the ``_params`` sidecar; ``lsh_search`` re-derives
+    identical planes.  Partition-count note: defaults give
+    n_tables * 2^n_planes = 512 directories; at wider codes partition by
+    table_id only and let bucket be a pushed-down data filter."""
+    tables = lsh_tables(dim, n_planes, n_tables)
+    buckets_udf = lsh_buckets_udf(tables, dim)
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
+        l2_norm_kernel(F.col(vec_col)).alias("cn"),
+        F.posexplode(buckets_udf(F.col(vec_col))).alias("table_id", "bucket"))
+    c.write.mode("overwrite").partitionBy("table_id", "bucket").parquet(path)
+    spark = candidates.sparkSession
+    spark.createDataFrame([(dim, n_planes, n_tables)],
+                          "dim int, n_planes int, n_tables int") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/_params")
+
+
+def lsh_search(spark, path: str, queries: DataFrame, k: int = 3,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               round_digits: int = 4) -> DataFrame:
+    """Serve top-k from a materialized ``lsh_build_index`` directory:
+    queries explode onto their (table_id, bucket) keys, the equi-join
+    dynamic-partition-prunes the index scan to the probed buckets, pairs
+    dedup before the exact cosine rank — semantics identical to
+    ``lsh_bucketed_topk`` for the same (dim, n_planes, n_tables)."""
+    p = spark.read.parquet(f"{path}/_params").collect()[0]
+    tables = lsh_tables(p["dim"], p["n_planes"], p["n_tables"])
+    buckets_udf = lsh_buckets_udf(tables, p["dim"])
+    c = spark.read.parquet(path)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        l2_norm_kernel(F.col(vec_col)).alias("qn"),
+        F.posexplode(buckets_udf(F.col(vec_col))).alias("table_id", "bucket"))
+    scored = (
+        F.broadcast(q).join(c, on=["table_id", "bucket"])
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "cand_id",
+            F.round(dot_product_kernel(F.col("qv"), F.col("cv"))
+                    / (F.col("qn") * F.col("cn")), round_digits).alias("cos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
 def ivf_centroids(candidates: DataFrame, n_lists: int = 16, n_iters: int = 5,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
     """RNG-free spherical k-means centroids, (n_lists, dim) float64.

@@ -136,6 +136,26 @@ def test_ivf_string_id(vecs):
     assert out and out[0]["cand_id"] == "doc-100"
 
 
+def test_lsh_index_build_search_equals_topk(spark, vecs, tmp_path):
+    """r05: the materialized LSH index must return exactly what the
+    one-shot lsh_bucketed_topk returns (same deterministic plane family,
+    re-derived from the _params sidecar); index dirs partitioned by
+    table_id/bucket."""
+    import os
+    path = str(tmp_path / "lsh_index")
+    similarity.lsh_build_index(vecs, path, dim=8, n_planes=5, n_tables=4)
+    assert any(d.startswith("table_id=") for d in os.listdir(path))
+    queries = vecs.where(F.col("vec_id") < 5)
+    got = sorted(
+        (r["query_id"], r["cand_id"], r["cos"], r["rank"])
+        for r in similarity.lsh_search(spark, path, queries, k=3).collect())
+    want = sorted(
+        (r["query_id"], r["cand_id"], r["cos"], r["rank"])
+        for r in similarity.lsh_bucketed_topk(queries, vecs, k=3, dim=8,
+                                              n_planes=5, n_tables=4).collect())
+    assert got == want and got
+
+
 def test_ivf_index_build_search_equals_topk(spark, vecs, tmp_path):
     """r05: the materialized index path (build once, search many) must
     return exactly what the one-shot ivf_topk returns for the same
@@ -145,7 +165,7 @@ def test_ivf_index_build_search_equals_topk(spark, vecs, tmp_path):
     parquet read ignores it."""
     import os
     path = str(tmp_path / "ivf_index")
-    cents = similarity.ivf_fixed_centroids(dim=64, n_lists=8)
+    cents = similarity.ivf_fixed_centroids(dim=8, n_lists=8)
     similarity.ivf_build_index(vecs, path, n_lists=8, centroids=cents)
     assert any(d.startswith("cluster_id=") for d in os.listdir(path))
 
