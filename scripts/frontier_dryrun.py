@@ -24,13 +24,22 @@ from pyspark.sql import functions as F  # noqa: E402
 def shuffle_totals(ui_port: int = 4040) -> dict:
     """Sum shuffle/input bytes over all completed stages via the REST API."""
     base = f"http://localhost:{ui_port}/api/v1/applications"
-    try:
-        apps = json.load(urllib.request.urlopen(base, timeout=10))
-        app_id = apps[0]["id"]
-        stages = json.load(urllib.request.urlopen(
-            f"{base}/{app_id}/stages?status=complete", timeout=30))
-    except Exception as e:  # noqa: BLE001
-        return {"error": str(e)}
+    # The stage listing can be slow to serialize on a long run (r05: the
+    # 30s timeout fired after ~1400s of crawl left ~90 stages behind), so
+    # ask for the summary-only payload and retry once with a longer wait.
+    last_err = None
+    for timeout in (30, 120):
+        try:
+            apps = json.load(urllib.request.urlopen(base, timeout=10))
+            app_id = apps[0]["id"]
+            stages = json.load(urllib.request.urlopen(
+                f"{base}/{app_id}/stages?status=complete&details=false",
+                timeout=timeout))
+            break
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+    else:
+        return {"error": str(last_err)}
     return {
         "n_stages": len(stages),
         "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in stages),
