@@ -7,10 +7,19 @@ numeric M/D/Y, 12h/24h times (``tests/test_single_value.py:545-577``) —
 plus de/it month-name dates (scope widened per round-1 review), nl/sv
 (round 3), ja numeric-unit dates + pl/tr month names (round 4),
 ru/fi month names (round 4 widening #2), ko numeric-unit dates +
-cs/da month names (round 5), and uk/el month names (round 5 widening
-#2).  zh dates use the same 年月日/時分秒 characters as ja, so the ja
-regex covers them.
-Full dateparser parity is explicitly out of scope (SURVEY.md §2.3 #13).
+cs/da month names (round 5), uk/el month names (round 5 widening
+#2), and ar/th/vi (round 5 widening #3): Arabic-Indic + Persian +
+Thai digit folding, Arabic Gregorian month names in both the
+transliterated (Egypt/Gulf) and Levantine systems (the two-word
+Levantine months match as phrases pre-tokenization), Thai month
+names with Buddhist-era year conversion (BE−543 when a Thai month
+name anchors the date, dateparser's th behaviour), and Vietnamese
+``tháng N`` month-unit dates.  zh dates use the same 年月日/時分秒
+characters as ja, so the ja regex covers them.
+Full dateparser parity is explicitly out of scope (SURVEY.md §2.3 #13):
+notably the Hijri/Jalali calendars, Thai ม.ค.-style dotted month
+abbreviations, and per-locale numeric D/M/Y order remain outside the
+declared subset.
 
 Month/day-name tables are public CLDR vocabulary.
 """
@@ -110,7 +119,47 @@ _MONTHS = {
     "ιουλιου": 7, "ιουλιος": 7, "αυγουστου": 8, "αυγουστος": 8,
     "σεπτεμβριου": 9, "σεπτεμβριος": 9, "οκτωβριου": 10, "οκτωβριος": 10,
     "νοεμβριου": 11, "νοεμβριος": 11, "δεκεμβριου": 12, "δεκεμβριος": 12,
+    # ar (r05 widening #3) — Gregorian month names, hamza/madda-folded by
+    # NFD (أ/آ/إ -> ا + Mn mark, stripped: أبريل -> ابريل, آذار -> اذار,
+    # آب -> اب); tashkeel diacritics are Mn and fold away too.  Both naming
+    # systems: transliterated (Egypt/Gulf) and the single-word Levantine
+    # months; the two-word Levantine months (كانون/تشرين pairs) live in
+    # _MONTH_PHRASES because the tokenizer would split them.
+    "يناير": 1, "فبراير": 2, "مارس": 3, "ابريل": 4, "مايو": 5, "يونيو": 6,
+    "يوليو": 7, "اغسطس": 8, "سبتمبر": 9, "اكتوبر": 10, "نوفمبر": 11,
+    "ديسمبر": 12,
+    "شباط": 2, "اذار": 3, "نيسان": 4, "ايار": 5, "حزيران": 6, "تموز": 7,
+    "اب": 8, "ايلول": 9,
 }
+
+# th (r05 widening #3) — month names stored NFD-FOLDED (Thai vowel signs
+# ิ ี ุ ั and thanthakhat ์ are category Mn, so the fold strips them:
+# มีนาคม -> มนาคม, กุมภาพันธ์ -> กมภาพนธ).  Kept in a separate table so the
+# parser knows a Thai month anchored the date and can convert a
+# Buddhist-era year (dateparser's th locale: 2564 BE -> 2021 CE).
+_MONTHS_TH = {
+    "มกราคม": 1, "กมภาพนธ": 2, "มนาคม": 3, "เมษายน": 4, "พฤษภาคม": 5,
+    "มถนายน": 6, "กรกฎาคม": 7, "สงหาคม": 8, "กนยายน": 9, "ตลาคม": 10,
+    "พฤศจกายน": 11, "ธนวาคม": 12,
+}
+
+# Multi-word month names, matched on the folded string BEFORE tokenization
+# (the token splitter would break them apart).  Levantine Arabic pairs:
+# the first word alone is ambiguous (كانون is Dec or Jan, تشرين Oct or
+# Nov) — the second word disambiguates.  No phrase is a substring of
+# another, so first-match-wins scanning is order-independent.
+_MONTH_PHRASES = {
+    "كانون الثاني": 1, "تشرين الاول": 10, "تشرين الثاني": 11,
+    "كانون الاول": 12,
+}
+
+# Eastern-Arabic (U+0660-0669), extended/Persian (U+06F0-06F9), and Thai
+# (U+0E50-0E59) digits -> ASCII, applied before any numeric matching
+# (dateparser normalizes these the same way).
+_DIGIT_TRANS = {}
+for _base in (0x0660, 0x06F0, 0x0E50):
+    for _d in range(10):
+        _DIGIT_TRANS[_base + _d] = ord("0") + _d
 
 _WEEKDAYS = {
     "monday", "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday",
@@ -183,7 +232,17 @@ def parse_fuzzy_datetime(value: str, languages: Optional[List[str]] = None) -> O
     """
     if not value:
         return None
-    s = _fold(value).lower()
+    s = _fold(value).lower().translate(_DIGIT_TRANS)
+
+    # Multi-word month names (Levantine Arabic) must match before the
+    # tokenizer splits them; the matched phrase is blanked out so its
+    # words can't be re-read as unknown tokens.
+    phrase_month = None
+    for _phrase, _mnum in _MONTH_PHRASES.items():
+        if _phrase in s:
+            phrase_month = _mnum
+            s = s.replace(_phrase, " ")
+            break
 
     # ko runs on the UNFOLDED value: NFD decomposes Hangul syllables into
     # conjoining jamo (category Lo, which the fold keeps), so the
@@ -215,15 +274,34 @@ def parse_fuzzy_datetime(value: str, languages: Optional[List[str]] = None) -> O
     elif ampm == "am" and hour == 12:
         hour = 0
 
-    tokens = re.split(r"[\s,./\-]+", s)
+    tokens = re.split(r"[\s,./\-،]+", s)
     tokens = [t for t in tokens if t and t not in _FILLER and t not in _WEEKDAYS]
 
-    month = None
+    month = phrase_month
+    thai_month = False
     nums: List[int] = []
-    for t in tokens:
+    skip_next = False
+    for i, t in enumerate(tokens):
+        if skip_next:
+            skip_next = False
+            continue
+        # vi month-unit: "tháng 3" (folded "thang 3"; "thg" is the common
+        # abbreviation).  The unit word binds the NEXT numeral as the
+        # month, mirroring dateparser's vi freshness/absolute parsing.
+        if t in ("thang", "thg") and i + 1 < len(tokens) \
+                and tokens[i + 1].isdigit():
+            v = int(tokens[i + 1])
+            if month is None and 1 <= v <= 12:
+                month = v
+                skip_next = True
+            continue
         if t in _MONTHS:
             if month is None:
                 month = _MONTHS[t]
+        elif t in _MONTHS_TH:
+            if month is None:
+                month = _MONTHS_TH[t]
+                thai_month = True
         elif t.isdigit():
             nums.append(int(t))
 
@@ -255,6 +333,11 @@ def parse_fuzzy_datetime(value: str, languages: Optional[List[str]] = None) -> O
             else:  # M/D/Y
                 month, day = a, b
                 year = c if c >= 1000 else (2000 + c if c < 50 else 1900 + c)
+    # Buddhist-era year (th): dateparser converts BE to CE when the Thai
+    # locale anchors the parse; here the anchor is a Thai month name.
+    # 2400 BE = 1857 CE — a safe era split for web-page dates.
+    if thai_month and year is not None and year >= 2400:
+        year -= 543
     if year is None or month is None or day is None:
         return None
     try:

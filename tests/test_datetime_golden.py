@@ -164,6 +164,26 @@ DTE_CASES = [
      datetime(2021, 3, 1, 20, 30, tzinfo=UTC)),
     ("12 Μαΐου 2020", {"languages": ["el"]},
      datetime(2020, 5, 12, 5, 0, tzinfo=UTC)),
+    # ar/th/vi (r05 widening #3): Arabic-Indic/Thai digit folding, both
+    # Arabic month-name systems, Thai Buddhist-era years, vi "tháng N"
+    ("الجمعة، 5 مارس 2021، 14:30", {"languages": ["ar"]},
+     datetime(2021, 3, 5, 20, 30, tzinfo=UTC)),  # CST: UTC-6
+    ("١٥ أغسطس ٢٠١٩", {"languages": ["ar"]},
+     datetime(2019, 8, 15, 5, 0, tzinfo=UTC)),  # CDT: UTC-5
+    ("5 كانون الثاني 2021", {"languages": ["ar"]},
+     datetime(2021, 1, 5, 6, 0, tzinfo=UTC)),  # Levantine two-word month
+    ("15 تشرين الأول 2019", {"languages": ["ar"]},
+     datetime(2019, 10, 15, 5, 0, tzinfo=UTC)),
+    ("5 มีนาคม 2564", {"languages": ["th"]},
+     datetime(2021, 3, 5, 6, 0, tzinfo=UTC)),  # 2564 BE = 2021 CE
+    ("๕ มีนาคม ๒๕๖๔", {"languages": ["th"]},
+     datetime(2021, 3, 5, 6, 0, tzinfo=UTC)),  # Thai digits
+    ("28 กุมภาพันธ์ 2560 14:30", {"languages": ["th"]},
+     datetime(2017, 2, 28, 20, 30, tzinfo=UTC)),
+    ("ngày 5 tháng 3 năm 2021", {"languages": ["vi"]},
+     datetime(2021, 3, 5, 6, 0, tzinfo=UTC)),
+    ("thứ Hai, ngày 1 tháng 12 năm 2014, 10:55", {"languages": ["vi"]},
+     datetime(2014, 12, 1, 16, 55, tzinfo=UTC)),
 ]
 
 
