@@ -415,3 +415,54 @@ def test_demojize_ko_zh_spark(spark):
         op = Demojize(language=lang)
         assert run_scalar(spark, op, [c[0] for c in cases]) == [
             c[1] for c in cases]
+
+
+# r05 widening: it/ru/tr tables (reference emoji lib ships all CLDR
+# languages, single_value.py:465-509; ours is the same curated subset
+# coverage as es/fr/de/pt/ja/ko/zh)
+DEMOJIZE_IT_CASES = [
+    ("Python \U0001F44D", "Python :pollice_in_su:"),
+    ("ciao \U0001F60A", "ciao :faccina_con_occhi_sorridenti:"),
+    ("ti amo ❤️", "ti amo :cuore_rosso:"),
+    ("grande \U0001F389\U0001F4AF", "grande :spara_coriandoli::cento_punti:"),
+    ("mondo \U0001F30D", "mondo \U0001F30D"),
+]
+
+DEMOJIZE_RU_CASES = [
+    ("Python \U0001F44D", "Python :палец_вверх:"),
+    ("привет \U0001F60A", "привет :улыбка_с_довольными_глазами:"),
+    ("люблю ❤️", "люблю :красное_сердце:"),
+    ("супер \U0001F389\U0001F4AF", "супер :хлопушка::сто_баллов:"),
+    ("мир \U0001F30D", "мир \U0001F30D"),
+]
+
+DEMOJIZE_TR_CASES = [
+    ("Python \U0001F44D", "Python :başparmak_yukarı:"),
+    ("merhaba \U0001F60A", "merhaba :gülen_gözlerle_gülümseyen_yüz:"),
+    ("seviyorum ❤️", "seviyorum :kırmızı_kalp:"),
+    ("harika \U0001F389\U0001F4AF", "harika :parti_konfetisi::yüz_puan:"),
+    ("dünya \U0001F30D", "dünya \U0001F30D"),
+]
+
+
+@pytest.mark.parametrize("inp,exp", DEMOJIZE_IT_CASES)
+def test_demojize_it_py(inp, exp):
+    assert Demojize(language="it").process_value(inp) == exp
+
+
+@pytest.mark.parametrize("inp,exp", DEMOJIZE_RU_CASES)
+def test_demojize_ru_py(inp, exp):
+    assert Demojize(language="ru").process_value(inp) == exp
+
+
+@pytest.mark.parametrize("inp,exp", DEMOJIZE_TR_CASES)
+def test_demojize_tr_py(inp, exp):
+    assert Demojize(language="tr").process_value(inp) == exp
+
+
+def test_demojize_it_ru_tr_spark(spark):
+    for lang, cases in (("it", DEMOJIZE_IT_CASES), ("ru", DEMOJIZE_RU_CASES),
+                        ("tr", DEMOJIZE_TR_CASES)):
+        op = Demojize(language=lang)
+        assert run_scalar(spark, op, [c[0] for c in cases]) == [
+            c[1] for c in cases]
