@@ -324,7 +324,13 @@ def main():
         mini_wall = mini_extract_probe(s, cores, mini_n)
         mini_lo = os.environ.get("SPARK_GRAFT_MINI_LO_S")
         if mini_lo and cores > 1:
-            mini_eff = (float(mini_lo) / mini_wall) / cores
+            # normalize by the PAIR ratio, not the absolute hi cores: the
+            # mini_lo reference was measured at lo_cores (1 by default, but
+            # 2 for a 2v8 supplementary pair — r05 found this as a 2x
+            # understatement that false-aborted every 2v8 hi attempt)
+            pair_lo = int(os.environ.get(
+                "SPARK_GRAFT_BENCH_CORES", "1,4").split(",")[0])
+            mini_eff = (float(mini_lo) / mini_wall) / (cores / max(pair_lo, 1))
             if mini_eff < float(os.environ.get("SPARK_GRAFT_MINI_GATE", "0.55")):
                 print(json.dumps({
                     "cores": cores, "aborted_starved": True,
