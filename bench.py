@@ -331,7 +331,16 @@ def main():
             pair_lo = int(os.environ.get(
                 "SPARK_GRAFT_BENCH_CORES", "1,4").split(",")[0])
             mini_eff = (float(mini_lo) / mini_wall) / (cores / max(pair_lo, 1))
-            if mini_eff < float(os.environ.get("SPARK_GRAFT_MINI_GATE", "0.55")):
+            # The probe's fixed dispatch cost (~2-4 s) doesn't shrink with
+            # cores, so its efficiency floor drops as the hi wall shrinks:
+            # at 1v4 the hi probe runs ~6-10 s (floor share small, gate
+            # 0.55 calibrated there); at 2v8 the hi probe is ~2-4 s and a
+            # healthy era still reads ~0.4-0.5.  The gate is only a cheap
+            # abort — scored attempts are protected by the bracket probes
+            # and the doom deadline — so default it lower for non-unit lo.
+            default_gate = 0.55 if pair_lo == 1 else 0.35
+            if mini_eff < float(os.environ.get("SPARK_GRAFT_MINI_GATE",
+                                               str(default_gate))):
                 print(json.dumps({
                     "cores": cores, "aborted_starved": True,
                     "mini_wall_s": round(mini_wall, 2),
