@@ -189,9 +189,14 @@ def _rank_frontier(frontier: DataFrame, host_state: DataFrame, cfg: CrawlConfig)
     return ranked_head.unionByName(ranked_tail).drop("salt", "r_local", "tokens")
 
 
-def _robots_allowed(frontier: DataFrame, robots: DataFrame) -> DataFrame:
-    """Drop robots-disallowed URLs (broadcast join + filter; no shuffle)."""
-    joined = frontier.join(F.broadcast(robots), on="host", how="left")
+def _robots_allowed(frontier: DataFrame, robots: DataFrame,
+                    cfg: CrawlConfig) -> DataFrame:
+    """Drop robots-disallowed URLs (join + filter).  The robots table is
+    per-host, so it follows the same scale posture as host_state: broadcast
+    (no shuffle) while hosts fit an executor, shuffle join at 10^8-host
+    scale (``cfg.broadcast_host_tables``)."""
+    rb = F.broadcast(robots) if cfg.broadcast_host_tables else robots
+    joined = frontier.join(rb, on="host", how="left")
     path = url_path(F.col("url"))
     disallowed = F.exists(
         F.coalesce("disallow_prefixes", F.array().cast("array<string>")),
@@ -216,7 +221,7 @@ def crawl_round(spark: SparkSession, state: dict, robots: DataFrame,
     # read `ranked`; in checkpoint rounds the durable writes of frontier/
     # seen_delta/fetch_delta would otherwise each re-execute the ranking
     # shuffles (measured 3-4x round cost).
-    ranked = _rank_frontier(_robots_allowed(frontier, robots), host_state, cfg) \
+    ranked = _rank_frontier(_robots_allowed(frontier, robots, cfg), host_state, cfg) \
         .localCheckpoint(eager=True)
     if cfg.selection_snapshot_path:
         # salt-pruned rows (rank null) are included: they can never be in

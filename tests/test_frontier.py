@@ -74,6 +74,16 @@ def test_crawl_bloom_path_equals_exact(spark):
     assert _seen_set(s1) == _seen_set(s2)
 
 
+def test_crawl_shuffle_join_path_equals_broadcast(spark):
+    """The 10^8-host scale posture flips broadcast_host_tables off and the
+    host-state / robots joins become shuffle joins (crawler.py:86-90) —
+    the crawl result must be byte-identical either way."""
+    s1 = run_crawl(spark, CrawlConfig(**CFG))
+    s2 = run_crawl(spark, CrawlConfig(**CFG, broadcast_host_tables=False))
+    assert _fetch_order(s1) == _fetch_order(s2)
+    assert _seen_set(s1) == _seen_set(s2)
+
+
 def test_checkpoint_resume_equals_uninterrupted(spark, tmp_path):
     root = str(tmp_path / "ckpt")
     # uninterrupted 4 rounds
