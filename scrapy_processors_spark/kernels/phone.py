@@ -73,6 +73,17 @@ _CC_RULES = {
     "62": (8, 12),
     "971": (8, 9),
     "54": (10, 10),
+    # r05 widening #2: the remaining big plans by web-page volume
+    "966": (9, 9),
+    "20": (8, 10),
+    "66": (8, 9),
+    "84": (9, 10),
+    "60": (8, 10),
+    "63": (8, 10),
+    "972": (8, 9),
+    "234": (7, 10),
+    "56": (9, 9),
+    "57": (10, 10),
 }
 
 # Digit-pattern validation beyond length, applied at VALID leniency (the
@@ -92,6 +103,19 @@ _CC_PATTERNS = {
     # [3-9]xx: 3-digit area codes with 7-8 digit subscribers
     "86": re.compile(r"^(?:1[3-9]\d{9}|10\d{8}|2\d{9}|[3-9]\d{9,10})$"),
     "52": re.compile(r"^[1-9]\d{9}$"),
+    # r05 widening #2 — again only the crisp rules:
+    #   TH: 9-digit mobiles start 6/8/9, 8-digit landlines start 2-7
+    #   VN: 9-digit mobiles start 3/5/7/8/9, 10-digit landlines start 2
+    #   IL: 5x mobiles, 7[2-9] VoIP, single-digit metro landlines
+    #   SA: 5x mobiles, 1[1-7] province landlines
+    #   CL: uniform 9 digits, nonzero lead
+    #   CO: 3x 10-digit mobiles, 60x unified landlines
+    "66": re.compile(r"^(?:[689]\d{8}|[2-7]\d{7})$"),
+    "84": re.compile(r"^(?:[35789]\d{8}|2\d{9})$"),
+    "972": re.compile(r"^(?:5\d{8}|7[2-9]\d{7}|[23489]\d{7})$"),
+    "966": re.compile(r"^(?:5\d{8}|1[1-7]\d{7})$"),
+    "56": re.compile(r"^[2-9]\d{8}$"),
+    "57": re.compile(r"^(?:3\d{9}|60[1-8]\d{7})$"),
 }
 
 _REGION_CC = {"US": "1", "CA": "1", "GB": "44", "FR": "33", "DE": "49",
@@ -101,7 +125,9 @@ _REGION_CC = {"US": "1", "CA": "1", "GB": "44", "FR": "33", "DE": "49",
               "AT": "43", "DK": "45", "NO": "47", "PT": "351", "IE": "353",
               "KR": "82",
               "ZA": "27", "SG": "65", "NZ": "64", "ID": "62", "AE": "971",
-              "AR": "54"}
+              "AR": "54",
+              "SA": "966", "EG": "20", "TH": "66", "VN": "84", "MY": "60",
+              "PH": "63", "IL": "972", "NG": "234", "CL": "56", "CO": "57"}
 
 #: phonenumbers.Leniency subset: POSSIBLE (0) = length-only checks,
 #: VALID (1, the matcher default) = full pattern validation.  The stricter

@@ -263,6 +263,40 @@ def test_phone_numbers_patterns_and_regions_r05():
     assert PhoneNumbers().process_value("+54 11 1234-5678") == ["+541112345678"]
 
 
+def test_phone_numbers_regions_r05_widening2():
+    # r05 widening #2: SA/EG/TH/VN/MY/PH/IL/NG/CL/CO — crisp digit
+    # patterns where the plan is uniform (TH/VN/IL/SA/CL/CO), length
+    # rules otherwise (EG/MY/PH/NG); documented-subset semantics
+    assert PhoneNumbers(region="SA").process_value(
+        "050 123 4567") == ["+966501234567"]
+    assert PhoneNumbers(region="EG").process_value(
+        "02 2345 6789") == ["+20223456789"]
+    assert PhoneNumbers(region="TH").process_value(
+        "081 234 5678") == ["+66812345678"]
+    assert PhoneNumbers(region="TH").process_value(
+        "011 234 5678") == []  # 9-digit TH numbers start 6/8/9
+    assert PhoneNumbers(region="VN").process_value(
+        "091 234 56 78") == ["+84912345678"]
+    assert PhoneNumbers(region="MY").process_value(
+        "012-345 6789") == ["+60123456789"]
+    assert PhoneNumbers(region="PH").process_value(
+        "0917 123 4567") == ["+639171234567"]
+    assert PhoneNumbers(region="IL").process_value(
+        "03-123-4567") == ["+97231234567"]
+    assert PhoneNumbers(region="NG").process_value(
+        "0803 123 4567") == ["+2348031234567"]
+    assert PhoneNumbers(region="CL").process_value(
+        "+56 9 1234 5678") == ["+56912345678"]
+    assert PhoneNumbers(region="CO").process_value(
+        "601 234 5678") == ["+576012345678"]
+    assert PhoneNumbers(region="CO").process_value(
+        "410 123 4567") == []  # CO 10-digit numbers start 3 or 60x
+    # +CC international forms need no region
+    assert PhoneNumbers().process_value("+966 50 123 4567") == ["+966501234567"]
+    assert PhoneNumbers().process_value("+972 50-123-4567") == ["+972501234567"]
+    assert PhoneNumbers().process_value("+57 310 123 4567") == ["+573101234567"]
+
+
 def test_phone_numbers_formatting_r05():
     # r05: NATIONAL/INTERNATIONAL grouping for FR/AU/JP/BR (crisp uniform
     # plans); other regions keep the bare-national fallback
