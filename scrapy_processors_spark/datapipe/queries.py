@@ -226,6 +226,9 @@ def _minhash_oracle() -> str:
 
 
 def _lang_id_oracle() -> str:
+    from scrapy_processors_spark.datapipe.textstats import (
+        _SCRIPT_THRESHOLD_PCT, _SCRIPTS)
+
     scores = {
         lang: f"len(list_filter(string_split(text, ' '), w -> w IN ({_sql_in_list(ws)})))"
         for lang, ws in STOPWORDS.items()
@@ -235,6 +238,14 @@ def _lang_id_oracle() -> str:
     for lang in ["es", "fr", "pt"]:
         best = f"CASE WHEN {scores[lang]} > {best_score} THEN '{lang}' ELSE {best} END"
         best_score = f"CASE WHEN {scores[lang]} > {best_score} THEN {scores[lang]} ELSE {best_score} END"
+    # script-ratio pre-pass (r05): same ranges/threshold as textstats.lang_id;
+    # DuckDB's RE2 takes the literal-char classes verbatim, and length() /
+    # regexp_extract_all count characters like Spark's length/regexp_count
+    nonspace = "length(regexp_replace(text, '\\s', '', 'g'))"
+    for lang, rng in reversed(_SCRIPTS):
+        cnt = f"len(regexp_extract_all(text, '{rng}'))"
+        best = (f"CASE WHEN {cnt} * 100 > {nonspace} * {_SCRIPT_THRESHOLD_PCT} "
+                f"THEN '{lang}' ELSE {best} END")
     return f"SELECT doc_id, {best} AS lang_guess FROM documents"
 
 

@@ -52,9 +52,31 @@ def _stop_count_rx(text: Column, lang: str) -> Column:
     return F.regexp_count(text, F.lit(f"(?:^| )(?:{alts})(?= |\\z)"))
 
 
+# Script-ratio detection for non-Latin languages (r05 widening): one
+# regexp_count per script, whole-stage codegen like the stopword passes.
+# Order matters — ja (kana) is checked before zh (han) because Japanese
+# text mixes kanji into the han range; a >30% kana share is decisively
+# Japanese while han chars alone are Chinese.
+_SCRIPTS = [
+    ("ar", "[؀-ۿ]"),  # Arabic
+    ("th", "[฀-๿]"),  # Thai
+    ("ko", "[가-힯]"),  # Hangul syllables
+    ("ja", "[぀-ヿ]"),  # Hiragana + Katakana
+    ("zh", "[一-鿿]"),  # CJK unified ideographs
+    ("ru", "[Ѐ-ӿ]"),  # Cyrillic
+]
+_SCRIPT_THRESHOLD_PCT = 30  # script chars > 30% of non-space chars
+
+
 def lang_id(text: Column) -> Column:
-    """Argmax of per-language stopword hits; ties resolve en > es > fr > pt
-    (deterministic)."""
+    """Two-stage heuristic, fully codegen (no Python, no HOFs):
+
+    1. script ratio — if >30% of non-space characters belong to one of
+       the ``_SCRIPTS`` ranges (checked in order), that script's language
+       wins (ar/th/ko/ja/zh/ru);
+    2. otherwise argmax of per-language stopword hits over the Latin
+       set; ties resolve en > es > fr > pt (deterministic).
+    """
     scores = {lang: _stop_count_rx(text, lang) for lang in STOPWORDS}
     best = F.lit("en")
     best_score = scores["en"]
@@ -62,6 +84,11 @@ def lang_id(text: Column) -> Column:
         cond = scores[lang] > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    for lang, rng in reversed(_SCRIPTS):
+        cnt = F.regexp_count(text, F.lit(rng))
+        best = F.when(cnt * 100 > nonspace * _SCRIPT_THRESHOLD_PCT,
+                      F.lit(lang)).otherwise(best)
     return best
 
 

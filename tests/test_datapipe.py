@@ -242,6 +242,39 @@ def test_textstats(docs):
     assert by_id[0]["fp"] != by_id[3]["fp"]
 
 
+def test_lang_id_scripts(spark):
+    """r05 widening: script-ratio pre-pass for ar/th/ko/ja/zh/ru, Latin
+    stopword argmax otherwise — and Spark must agree with the DuckDB
+    oracle formulation on the same rows."""
+    rows = [
+        (1, "the cat and the dog of the house", "en"),
+        (2, "el perro que corre por la casa con los gatos", "es"),
+        (3, "مرحبا بكم في الموقع الرسمي للجامعة العربية اليوم", "ar"),
+        (4, "สวัสดีครับ ยินดีต้อนรับ สู่เว็บไซต์ ของเรา", "th"),
+        (5, "안녕하세요 오늘 날씨가 정말 좋습니다 감사합니다", "ko"),
+        (6, "こんにちは、今日はとてもいい天気ですね。ありがとう", "ja"),
+        (7, "今天天气很好我们一起去公园散步吧谢谢大家", "zh"),
+        (8, "Привет сегодня хорошая погода большое спасибо всем", "ru"),
+        (9, "le chat est dans la maison avec les chiens pour une", "fr"),
+        # mostly-Latin page with a sprinkle of CJK stays on the Latin path
+        (10, "the quick brown fox 天 jumps over the lazy dog and the cat", "en"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows],
+                               "doc_id int, text string")
+    got = {r["doc_id"]: r["lang"] for r in df.select(
+        "doc_id", textstats.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {i: lang for i, _, lang in rows}
+
+    import duckdb
+
+    from scrapy_processors_spark.datapipe.queries import _lang_id_oracle
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    oracle = {i: lang for i, lang in
+              con.execute(_lang_id_oracle()).fetchall()}
+    assert oracle == got
+
+
 def test_multimodal_plumbing(docs):
     media = multimodal.media_from_documents(docs)
     feats = multimodal.extract_features(media, fake=True)
