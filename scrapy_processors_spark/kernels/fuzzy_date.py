@@ -8,13 +8,15 @@ plus de/it month-name dates (scope widened per round-1 review), nl/sv
 (round 3), ja numeric-unit dates + pl/tr month names (round 4),
 ru/fi month names (round 4 widening #2), ko numeric-unit dates +
 cs/da month names (round 5), uk/el month names (round 5 widening
-#2), and ar/th/vi (round 5 widening #3): Arabic-Indic + Persian +
+#2), ar/th/vi (round 5 widening #3): Arabic-Indic + Persian +
 Thai digit folding, Arabic Gregorian month names in both the
 transliterated (Egypt/Gulf) and Levantine systems (the two-word
 Levantine months match as phrases pre-tokenization), Thai month
 names with Buddhist-era year conversion (BE−543 when a Thai month
 name anchors the date, dateparser's th behaviour), and Vietnamese
-``tháng N`` month-unit dates.  zh dates use the same 年月日/時分秒
+``tháng N`` month-unit dates; and hi (round 5 widening #4):
+Devanagari digit folding + month names in both anusvara and conjunct
+spellings.  zh dates use the same 年月日/時分秒
 characters as ja, so the ja regex covers them.
 Full dateparser parity is explicitly out of scope (SURVEY.md §2.3 #13):
 notably the Hijri/Jalali calendars, Thai ม.ค.-style dotted month
@@ -130,6 +132,14 @@ _MONTHS = {
     "ديسمبر": 12,
     "شباط": 2, "اذار": 3, "نيسان": 4, "ايار": 5, "حزيران": 6, "تموز": 7,
     "اب": 8, "ايلول": 9,
+    # hi (r05 widening #4) — Devanagari month names stored NFD-FOLDED:
+    # the fold strips Mn marks (virama ्, anusvara ं, nukta ़, and the
+    # vowel signs ु ू ै) but keeps the Mc spacing vowels (ा ी ि), so
+    # मार्च -> मारच, जून -> जन, अक्टूबर -> अकटबर; both anusvara and
+    # conjunct spellings of Sep/Oct/Nov/Dec are listed.
+    "जनवरी": 1, "फरवरी": 2, "मारच": 3, "अपरल": 4, "मई": 5, "जन": 6,
+    "जलाई": 7, "अगसत": 8, "सितबर": 9, "सितमबर": 9, "अकटबर": 10,
+    "अकतबर": 10, "नवबर": 11, "नवमबर": 11, "दिसबर": 12, "दिसमबर": 12,
 }
 
 # th (r05 widening #3) — month names stored NFD-FOLDED (Thai vowel signs
@@ -153,11 +163,11 @@ _MONTH_PHRASES = {
     "كانون الاول": 12,
 }
 
-# Eastern-Arabic (U+0660-0669), extended/Persian (U+06F0-06F9), and Thai
-# (U+0E50-0E59) digits -> ASCII, applied before any numeric matching
+# Eastern-Arabic (U+0660-0669), extended/Persian (U+06F0-06F9), Thai
+# (U+0E50-0E59), and Devanagari (U+0966-096F) digits -> ASCII, applied before any numeric matching
 # (dateparser normalizes these the same way).
 _DIGIT_TRANS = {}
-for _base in (0x0660, 0x06F0, 0x0E50):
+for _base in (0x0660, 0x06F0, 0x0E50, 0x0966):
     for _d in range(10):
         _DIGIT_TRANS[_base + _d] = ord("0") + _d
 

@@ -184,6 +184,13 @@ DTE_CASES = [
      datetime(2021, 3, 5, 6, 0, tzinfo=UTC)),
     ("thứ Hai, ngày 1 tháng 12 năm 2014, 10:55", {"languages": ["vi"]},
      datetime(2014, 12, 1, 16, 55, tzinfo=UTC)),
+    # hi (r05 widening #4): Devanagari digits + month names
+    ("शुक्रवार, ५ मार्च २०२१", {"languages": ["hi"]},
+     datetime(2021, 3, 5, 6, 0, tzinfo=UTC)),  # CST: UTC-6
+    ("15 अगस्त 2019", {"languages": ["hi"]},
+     datetime(2019, 8, 15, 5, 0, tzinfo=UTC)),  # CDT: UTC-5
+    ("१ दिसंबर २०१४ 10:55", {"languages": ["hi"]},
+     datetime(2014, 12, 1, 16, 55, tzinfo=UTC)),
 ]
 
 
