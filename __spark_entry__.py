@@ -17,8 +17,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       expensive: bool = True) -> DataFrame:
+    from scrapy_processors_spark.session import read_table
+
+    # Scale-adaptive keyed fan-out (guide §2.2/§6): the testdata tables
+    # arrive as single-row-group files, which plan ONE scan task regardless
+    # of session width; hash-repartition on the table key to the slot count
+    # only when the scan is narrower than the session.  No-op on
+    # already-parallel (warehouse-scale) scans.  ``expensive=False`` skips
+    # the fan-out for cheap single-pass codegen queries where the exchange
+    # costs more than the serial loss (see session.read_table).
+    return read_table(spark, sf_dir, name, expensive=expensive)
 
 
 # ---------------------------------------------------------------------------
@@ -106,7 +116,7 @@ def q_remove_emojis(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_extract_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scrapy_processors_spark import ExtractDigits
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", expensive=False)  # one codegen regex pass
     s = F.concat(
         F.lit("price "), F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
         F.lit(" qty "), F.col("l_quantity").cast("decimal(18,2)").cast("string"),
@@ -278,7 +288,7 @@ def q_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_get_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scrapy_processors_spark import GetAttr
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", expensive=False)  # trivial struct pick
     st = F.struct(F.col("event_type").alias("etype"), F.col("user_id").alias("uid"))
     return ev.select("event_id", GetAttr("etype")(st).alias("etype"))
 
@@ -367,7 +377,7 @@ def q_take_all_truthy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scrapy_processors_spark import Coalesce
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", expensive=False)  # trivial CASE WHEN
     arr = F.array(
         F.when(F.col("value") > 100, F.col("event_type")),
         F.lit("fallback"),

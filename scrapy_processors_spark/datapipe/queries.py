@@ -15,7 +15,10 @@ from scrapy_processors_spark.datapipe.textstats import STOPWORDS
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from scrapy_processors_spark.session import read_table
+
+    # Scale-adaptive keyed scan fan-out — see session.read_table/fan_out.
+    return read_table(spark, sf_dir, name)
 
 
 # ------------------------------------------------------------------ dedup
@@ -35,8 +38,16 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """r06: Arrow kernel (``simhash16_kernel``) instead of the interpreted
+    ``F.aggregate`` fold — higher-order array functions are CodegenFallback
+    (per-element interpreted eval; guide §4.2), and this was the single
+    most expensive driver-bench query at sf1.0 (60.2 s).  Value-identical
+    bytes by construction, enforced by
+    tests/test_datapipe.py::test_simhash_kernel_matches_fold; ``simhash16``
+    stays as the Column-expression semantic spec."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", dedup.simhash16(F.col("text")).alias("simhash"))
+    return docs.select("doc_id",
+                       dedup.simhash16_kernel(F.col("text")).alias("simhash"))
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -51,13 +62,21 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_embedding_dedup(spark, sf_dir):
+    """r06 (VERDICT r05 #1a): norms precomputed per SIDE before the join —
+    |rows| ``l2_norm_kernel`` evaluations instead of 2·|pairs| — mirroring
+    ``similarity.cosine_topk``.  IEEE-identical to
+    ``cosine_similarity_fast`` per pair: same kernels, same
+    ``dot / (norm_a * norm_b)`` JVM division order."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+                   dedup.l2_norm_kernel(F.col("embedding")).alias("na"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+                   dedup.l2_norm_kernel(F.col("embedding")).alias("nb"))
     pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
     return pairs.select(
         "id_a", "id_b",
-        F.round(dedup.cosine_similarity_fast(F.col("va"), F.col("vb")), 4).alias("cos"),
+        F.round(dedup.dot_product_kernel(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")), 4).alias("cos"),
     )
 
 

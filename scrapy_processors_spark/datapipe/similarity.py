@@ -134,19 +134,28 @@ def lsh_buckets_udf(tables: list, dim: int):
     weights = np.array(
         [[plane for plane in tbl] for tbl in tables], dtype=np.float64
     )  # (n_tables, n_planes, dim)
-    n_tables, n_planes, _ = weights.shape
+    n_tables, n_planes, dim_w = weights.shape
+    # r06: all planes accumulate in ONE (n, n_tables*n_planes) matrix —
+    # dim_w numpy ops per batch instead of n_tables*n_planes*dim_w tiny
+    # ones (5,120 at 16x5x64; each was overhead-dominated at Arrow batch
+    # sizes).  acc[r, p] still sums v[r, i] * w[p, i] sequentially in
+    # dimension order i = 0..dim-1 — each (row, plane) cell accumulates
+    # independently, so the IEEE result is bit-identical to the per-plane
+    # loop and to the oracle's list_reduce fold.
+    flat_w = weights.reshape(n_tables * n_planes, dim_w)
+    powers = (1 << np.arange(n_planes, dtype=np.int32))
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def buckets(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):  # empty Arrow batch: np.array([]) is 1-D
+            return pd.Series([], dtype=object)
         v = np.array(vecs.to_list(), dtype=np.float64)  # (n, dim)
         n = v.shape[0]
-        out = np.zeros((n, n_tables), dtype=np.int32)
-        for t in range(n_tables):
-            for p in range(n_planes):
-                acc = np.zeros(n, dtype=np.float64)
-                for i in range(weights.shape[2]):
-                    acc = acc + v[:, i] * weights[t, p, i]
-                out[:, t] |= np.where(acc > 0, 1 << p, 0).astype(np.int32)
+        acc = np.zeros((n, n_tables * n_planes), dtype=np.float64)
+        for i in range(dim_w):
+            acc = acc + v[:, i:i + 1] * flat_w[:, i][None, :]
+        bits = (acc > 0).reshape(n, n_tables, n_planes)
+        out = (bits * powers[None, None, :]).sum(axis=2).astype(np.int32)
         return pd.Series(list(out))
 
     return buckets

@@ -18,7 +18,10 @@ from scrapy_processors_spark.frontier.canonicalize import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from scrapy_processors_spark.session import read_table
+
+    # Scale-adaptive keyed scan fan-out — see session.read_table/fan_out.
+    return read_table(spark, sf_dir, name)
 
 
 def _raw_url(docs: DataFrame) -> F.Column:
