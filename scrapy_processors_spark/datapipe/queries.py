@@ -14,11 +14,17 @@ from scrapy_processors_spark.datapipe import dedup, multimodal, similarity, text
 from scrapy_processors_spark.datapipe.textstats import STOPWORDS
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       expensive: bool = True) -> DataFrame:
     from scrapy_processors_spark.session import read_table
 
     # Scale-adaptive keyed scan fan-out — see session.read_table/fan_out.
-    return read_table(spark, sf_dir, name)
+    # expensive=False: keep the natural scan width for pipelines whose
+    # kernels are batch-vectorized numpy (embeddings paths) — their CPU
+    # per byte is codegen-class, so the fan-out exchange costs more than
+    # the serial loss (measured at sf0.1 AND sf1.0: ann_lsh 0.9/1.3 s
+    # natural vs 1.9/1.9 s fanned).
+    return read_table(spark, sf_dir, name, expensive=expensive)
 
 
 # ------------------------------------------------------------------ dedup
@@ -67,7 +73,7 @@ def q_embedding_dedup(spark, sf_dir):
     ``similarity.cosine_topk``.  IEEE-identical to
     ``cosine_similarity_fast`` per pair: same kernels, same
     ``dot / (norm_a * norm_b)`` JVM division order."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", expensive=False)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
                    dedup.l2_norm_kernel(F.col("embedding")).alias("na"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
@@ -82,7 +88,7 @@ def q_embedding_dedup(spark, sf_dir):
 
 # ------------------------------------------------------------- similarity
 def q_ann_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", expensive=False)
     queries = emb.where(F.col("vec_id") < 5)
     return similarity.cosine_topk(queries, emb, k=3)
 
@@ -92,7 +98,7 @@ def q_ann_lsh(spark, sf_dir):
     bucket assignment is reproducible in DuckDB (the oracle inlines the plane
     weights as literals and replays the same sequential double fold); recall
     vs the brute-force baseline is measured by ``similarity.lsh_recall``."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", expensive=False)
     queries = emb.where(F.col("vec_id") < 5)
     return similarity.lsh_bucketed_topk(queries, emb, k=3)
 
@@ -106,7 +112,7 @@ def q_ann_ivf(spark, sf_dir):
     ``similarity.ivf_recall`` in bench.py; this row verifies the IVF
     mechanics (assignment, n_probe explode, cluster equi-join, rank) end
     to end."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", expensive=False)
     queries = emb.where(F.col("vec_id") < 5)
     return similarity.ivf_topk(
         queries, emb, k=3, n_lists=8, n_probe=2,

@@ -242,8 +242,41 @@ class DateTimeExtraordinaire(Op):
         return dt
 
     def kernel(self, s: pd.Series) -> pd.Series:
+        # Context unpack + pytz zone resolution hoisted out of the row loop
+        # (guide §4.5: per-task init once, not per row) — the body below is
+        # ``process_value`` verbatim with the constants closed over.
+        (output_tz, return_date, return_time, languages, base_tz,
+         locales, _region, _settings, detect_fn) = self.unpack_context()
+        output_tz, base_tz = _tz(output_tz), _tz(base_tz)
+        fixed_langs = languages
+        augment = bool(locales) or detect_fn is not None
+
         def one(v):
-            r = None if v is None else self.process_value(v)
+            if v is None:
+                return None
+            langs = fixed_langs
+            if augment:
+                langs = list(fixed_langs or [])
+                for loc in locales or []:
+                    lang = str(loc).split("-")[0]
+                    if lang not in langs:
+                        langs.append(lang)
+                if callable(detect_fn):
+                    for lang in detect_fn(v, 0.5) or []:
+                        if lang not in langs:
+                            langs.append(lang)
+            dt = parse_fuzzy_datetime(v, langs)
+            if dt is None:
+                return None
+            dt = base_tz.localize(dt).astimezone(output_tz)
+            if return_date and return_time:
+                r = {"date": dt.date(), "time": dt.time()}
+            elif return_date:
+                r = dt.date()
+            elif return_time:
+                r = dt.time()
+            else:
+                r = dt
             if isinstance(r, datetime):
                 return r.astimezone(pytz.UTC).replace(tzinfo=None)
             if isinstance(r, time):

@@ -90,6 +90,31 @@ class NormalizeNumericString(Op):
 
         return num
 
+    def kernel(self, s: pd.Series) -> pd.Series:
+        # Context unpack hoisted out of the row loop (guide §4.5); the body
+        # is ``process_value`` verbatim with the constants closed over.
+        (thousands_separator, decimal_separator, decimal_places,
+         keep_trailing_zeros, input_decimal_separator) = self.unpack_context()
+
+        def one(value):
+            if value is None:
+                return None
+            num = parse_price(
+                value, decimal_separator=input_decimal_separator).amount_float
+            if decimal_places is not None:
+                num = f"{num:,.{decimal_places}f}"
+            else:
+                num = f"{num:,}"
+            num = num.replace(",", "THOUSANDS_SEP")
+            num = num.replace(".", "DECIMAL_SEP")
+            num = num.replace("THOUSANDS_SEP", thousands_separator)
+            num = num.replace("DECIMAL_SEP", decimal_separator)
+            if keep_trailing_zeros is False:
+                num = num.rstrip("0").rstrip(decimal_separator)
+            return num
+
+        return s.map(one)
+
 
 class PriceParser(Op):
     """Price string -> struct(amount, currency, amount_text, amount_float)
@@ -135,11 +160,14 @@ class PriceParser(Op):
 
     def kernel(self, s: pd.Series) -> pd.Series:
         return_attrs = self.context.get("return_attrs")
+        # hoisted from _parse (guide §4.5): unpack once per batch, not per row
+        _, currency_hint, decimal_separator = self.unpack_context()
 
         def one(v):
             if v is None:
                 return None
-            p = self._parse(v)
+            p = parse_price(v, currency_hint=currency_hint,
+                            decimal_separator=decimal_separator)
             if return_attrs is None:
                 return {
                     "amount": None if p.amount is None else str(p.amount),
@@ -169,3 +197,16 @@ class ToFloat(Op):
         decimal_places, decimal_separator = self.unpack_context()
         num = parse_price(value, decimal_separator=decimal_separator).amount_float
         return round(num, decimal_places) if decimal_places else num
+
+    def kernel(self, s: pd.Series) -> pd.Series:
+        # Context unpack hoisted out of the row loop (guide §4.5).
+        decimal_places, decimal_separator = self.unpack_context()
+
+        def one(value):
+            if value is None:
+                return None
+            num = parse_price(
+                value, decimal_separator=decimal_separator).amount_float
+            return round(num, decimal_places) if decimal_places else num
+
+        return s.map(one)
