@@ -92,6 +92,52 @@ def _currency_from_string(s: str) -> Optional[str]:
     return m.group(0) if m else None
 
 
+# ---------------------------------------------------------------------------
+# Fast path: anchored ASCII shape `SYM? digits[,ddd]* [.frac]?` that covers the
+# overwhelmingly common machine-formatted price strings.  For any value in this
+# language the full ``parse_price`` provably reduces to direct string/float
+# ops, so hot kernels can skip the search/guess/Decimal pipeline and fall back
+# to ``parse_price`` for everything else.  Proof of equivalence on the matched
+# language (each step against the general path above):
+#
+# - ``_NUM_RE.search`` finds the maximal run from the first digit: exactly
+#   ``digits[,ddd]*[.frac]`` (commas/dot are in its class, the optional
+#   leading symbol is not, the string ends after the fraction).  The
+#   ``rstrip(" ,.\xa0")`` and the space-removal in ``parse_number`` are
+#   no-ops (the run ends in a digit and contains no spaces).
+# - ``guess_decimal_separator`` always yields ".": dots <= 1; with >= 2
+#   grouping commas the ``count(",") > 1`` rule fires; with exactly one comma
+#   either the dot sits after it (``rfind`` rule) or the post-comma block has
+#   length 3 (",ddd" thousands rule).  Hence the fast path is only valid when
+#   the caller's ``decimal_separator`` is None or "." (callers must guard).
+# - After comma removal ``num`` matches ``^[0-9]+(\.[0-9]+)?$``:
+#   ``Decimal(num)`` cannot fail; ``str(Decimal(num))`` only strips redundant
+#   leading zeros (no exponent form without an exponent in the input), and
+#   ``float(num) == float(Decimal(num))`` — both are correctly-rounded
+#   decimal-to-binary conversions, both overflowing to ``inf`` identically.
+# - ``_CURRENCY_RE.search(value)``: ISO codes need ASCII letters, which the
+#   language excludes, so the only possible match is the leading symbol (the
+#   class is ``[0-9],.`` otherwise, disjoint from ``_CURRENCY_SYMBOLS``).
+#
+# ``[0-9]`` (not ``\d``) is deliberate: Python ``\d`` matches Unicode digits,
+# where ``str(Decimal("٣٤")) == "34"`` normalizes the script — those values
+# must take the slow path.
+_FAST_RE = re.compile(
+    "([" + re.escape(_CURRENCY_SYMBOLS) + "])?"
+    r"([0-9]{1,3}(?:,[0-9]{3})+|[0-9]+)(\.[0-9]+)?\Z")
+_LEADING_ZEROS = re.compile(r"^0+(?=\d)")
+
+fast_price_match = _FAST_RE.match
+
+
+def fast_amount_canonical(num: str) -> str:
+    """``str(Decimal(num))`` for fast-path ``num`` (ASCII digits + one dot):
+    strip redundant leading zeros, keeping one before a dot."""
+    if num[0] == "0" and len(num) > 1 and num[1] != ".":
+        return _LEADING_ZEROS.sub("", num)
+    return num
+
+
 def parse_price(
     value: str,
     currency_hint: Optional[str] = None,

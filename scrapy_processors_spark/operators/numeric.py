@@ -19,7 +19,13 @@ from pyspark.sql import types as T
 
 from scrapy_processors_spark.core.base import Op
 from scrapy_processors_spark.core.regex_util import java_escape_char
-from scrapy_processors_spark.kernels.price import ParsedPrice, parse_price
+from scrapy_processors_spark.kernels.price import (
+    ParsedPrice,
+    _currency_from_string,
+    fast_amount_canonical,
+    fast_price_match,
+    parse_price,
+)
 
 
 class ExtractDigits(Op):
@@ -96,11 +102,21 @@ class NormalizeNumericString(Op):
         (thousands_separator, decimal_separator, decimal_places,
          keep_trailing_zeros, input_decimal_separator) = self.unpack_context()
 
+        # Fast-path guard: only valid when the decimal separator is "." (the
+        # shape the fast language always resolves to — kernels/price.py proof).
+        use_fast = input_decimal_separator in (None, ".")
+
         def one(value):
             if value is None:
                 return None
-            num = parse_price(
-                value, decimal_separator=input_decimal_separator).amount_float
+            m = fast_price_match(value) if use_fast else None
+            if m is not None:
+                ip, frac = m.group(2), m.group(3)
+                digits = ip.replace(",", "") if "," in ip else ip
+                num = float(digits + frac) if frac else float(digits)
+            else:
+                num = parse_price(
+                    value, decimal_separator=input_decimal_separator).amount_float
             if decimal_places is not None:
                 num = f"{num:,.{decimal_places}f}"
             else:
@@ -162,23 +178,59 @@ class PriceParser(Op):
         return_attrs = self.context.get("return_attrs")
         # hoisted from _parse (guide §4.5): unpack once per batch, not per row
         _, currency_hint, decimal_separator = self.unpack_context()
+        # Fast path (kernels/price.py): valid only for "."-resolving inputs;
+        # hint resolution hoisted out of the row loop.
+        use_fast = decimal_separator in (None, ".")
+        hint_resolved = ((_currency_from_string(currency_hint) or currency_hint)
+                         if currency_hint else None)
 
-        def one(v):
-            if v is None:
-                return None
+        def components(v):
+            """(amount_str, currency, amount_text, amount_float) for one row."""
+            m = fast_price_match(v) if use_fast else None
+            if m is not None:
+                sym, ip, frac = m.group(1), m.group(2), m.group(3)
+                digits = ip.replace(",", "") if "," in ip else ip
+                num = digits + frac if frac else digits
+                return (fast_amount_canonical(num),
+                        sym if sym is not None else hint_resolved,
+                        ip + frac if frac else ip,
+                        float(num))
             p = parse_price(v, currency_hint=currency_hint,
                             decimal_separator=decimal_separator)
-            if return_attrs is None:
+            return (None if p.amount is None else str(p.amount),
+                    p.currency, p.amount_text, p.amount_float)
+
+        if return_attrs is None:
+            def one(v):
+                if v is None:
+                    return None
+                amount, currency, amount_text, amount_float = components(v)
                 return {
-                    "amount": None if p.amount is None else str(p.amount),
-                    "currency": p.currency,
-                    "amount_text": p.amount_text,
-                    "amount_float": p.amount_float,
+                    "amount": amount,
+                    "currency": currency,
+                    "amount_text": amount_text,
+                    "amount_float": amount_float,
                 }
-            if isinstance(return_attrs, str):
+        elif isinstance(return_attrs, str) and return_attrs in (
+                "amount", "currency", "amount_text", "amount_float"):
+            idx = {"amount": 0, "currency": 1,
+                   "amount_text": 2, "amount_float": 3}[return_attrs]
+
+            def one(v):
+                return None if v is None else components(v)[idx]
+        elif isinstance(return_attrs, str):
+            # arbitrary attribute name: keep the generic getattr semantics
+            def one(v):
+                if v is None:
+                    return None
+                p = parse_price(v, currency_hint=currency_hint,
+                                decimal_separator=decimal_separator)
                 attr = getattr(p, return_attrs)
-                return str(attr) if return_attrs == "amount" and attr is not None else attr
-            return None
+                return (str(attr) if return_attrs == "amount"
+                        and attr is not None else attr)
+        else:
+            def one(v):
+                return None
 
         return s.map(one)
 
@@ -201,12 +253,20 @@ class ToFloat(Op):
     def kernel(self, s: pd.Series) -> pd.Series:
         # Context unpack hoisted out of the row loop (guide §4.5).
         decimal_places, decimal_separator = self.unpack_context()
+        # Fast path (kernels/price.py): valid only for "."-resolving inputs.
+        use_fast = decimal_separator in (None, ".")
 
         def one(value):
             if value is None:
                 return None
-            num = parse_price(
-                value, decimal_separator=decimal_separator).amount_float
+            m = fast_price_match(value) if use_fast else None
+            if m is not None:
+                ip, frac = m.group(2), m.group(3)
+                digits = ip.replace(",", "") if "," in ip else ip
+                num = float(digits + frac) if frac else float(digits)
+            else:
+                num = parse_price(
+                    value, decimal_separator=decimal_separator).amount_float
             return round(num, decimal_places) if decimal_places else num
 
         return s.map(one)

@@ -122,3 +122,101 @@ def test_to_float_py(inp, ctx, exp):
 def test_to_float_spark(spark):
     for inp, ctx, exp in TOFLOAT_CASES:
         assert run_scalar(spark, ToFloat(**ctx), [inp]) == [exp]
+
+
+# --- r6 fast-path equivalence: kernel vs process_value on the price trio ---
+#
+# The r6 optimization adds an anchored ASCII fast path (kernels/price.py
+# _FAST_RE) to the three price kernels; this fuzz corpus straddles the
+# fast/slow boundary (grouped/ungrouped digits, leading zeros, Unicode
+# digits, symbols, hints, non-"." separators that disable the fast path).
+
+FUZZ_VALUES = [
+    "$1,234.56", "1.234,56", "1 234,56", "12", "1", "0", "007.50", "00.5",
+    ".5", "1,23,456", "1.2.3.4", "price 12,345 USD", "EUR 9,99", "abc", "",
+    "  ", "12\t34", "1,000", "1,0000", "12,34", "9.99 €", "5.", "5,",
+    "000", "0.00", "123456789012345678901234567890.5", "99,999,999.99",
+    "$0.99", "£1,000,000", "x1,234.567y", "12.345.678,90", "3,141",
+    "٣٤", "١٢.٥", "0", "10", "010", "0.5", "00.50",
+    "9" * 320, "1," , ",1", "JPY 1000", "$", "USD",
+]
+
+PRICE_FUZZ_CTX = [
+    {}, {"currency_hint": "USD"}, {"currency_hint": "zł"},
+    {"decimal_separator": ","}, {"decimal_separator": "."},
+    {"currency_hint": "EUR", "decimal_separator": ","},
+]
+
+
+def _kernel_vals(op, values):
+    import pandas as pd
+
+    out = op.kernel(pd.Series(values, dtype=object))
+    # the exec layer (FlatBatch.drop_none) treats NaN as null, so a
+    # float-dtype map result's NaN is equivalent to None here
+    return [None if v is None or (isinstance(v, float) and v != v) else v
+            for v in out]
+
+
+@pytest.mark.parametrize("ctx", PRICE_FUZZ_CTX)
+def test_price_parser_kernel_matches_process_value(ctx):
+    op = PriceParser(**ctx)
+    got = _kernel_vals(op, FUZZ_VALUES)
+    for v, g in zip(FUZZ_VALUES, got):
+        p = op.process_value(v)
+        exp = {
+            "amount": None if p.amount is None else str(p.amount),
+            "currency": p.currency,
+            "amount_text": p.amount_text,
+            "amount_float": p.amount_float,
+        }
+        assert g == exp, f"{v!r} ctx={ctx}: {g} != {exp}"
+
+
+@pytest.mark.parametrize("ctx", [
+    {"return_attrs": "amount"}, {"return_attrs": "amount_float"},
+    {"return_attrs": "currency", "currency_hint": "USD"},
+    {"return_attrs": "amount_text"},
+])
+def test_price_parser_kernel_return_attrs(ctx):
+    op = PriceParser(**ctx)
+    got = _kernel_vals(op, FUZZ_VALUES)
+    for v, g in zip(FUZZ_VALUES, got):
+        exp = op.process_value(v)
+        if ctx["return_attrs"] == "amount" and exp is not None:
+            exp = str(exp)  # kernel contract: Decimal serialized as repr string
+        assert g == exp, f"{v!r} ctx={ctx}"
+
+
+@pytest.mark.parametrize("ctx", [
+    {}, {"decimal_places": 2}, {"decimal_separator": ","},
+    {"decimal_places": 3, "decimal_separator": "."},
+])
+def test_to_float_kernel_matches_process_value(ctx):
+    op = ToFloat(**ctx)
+    for v in FUZZ_VALUES:
+        try:
+            exp = op.process_value(v)
+        except Exception as e:  # noqa: BLE001 - error parity
+            with pytest.raises(type(e)):
+                _kernel_vals(op, [v])
+            continue
+        assert _kernel_vals(op, [v]) == [exp], f"{v!r} ctx={ctx}"
+
+
+@pytest.mark.parametrize("ctx", [
+    {"decimal_places": 2, "keep_trailing_zeros": True,
+     "input_decimal_separator": "."},
+    {"thousands_separator": ".", "decimal_separator": ","},
+    {},
+])
+def test_nns_kernel_matches_process_value(ctx):
+    op = NormalizeNumericString(**ctx)
+    for v in FUZZ_VALUES:
+        try:
+            exp = op.process_value(v)
+        except Exception as e:  # noqa: BLE001 - error parity
+            with pytest.raises(type(e)):
+                _kernel_vals(op, [v])
+            continue
+        assert _kernel_vals(op, [v]) == [exp], f"{v!r} ctx={ctx}"
