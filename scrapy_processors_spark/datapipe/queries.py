@@ -122,7 +122,9 @@ def q_ann_ivf(spark, sf_dir):
 # -------------------------------------------------------------- textstats
 def q_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", textstats.lang_id(F.col("text")).alias("lang_guess"))
+    # two-projection form of lang_id: identical result, each regex pass
+    # evaluated once (textstats.lang_id_two_phase docstring; r6)
+    return textstats.lang_id_two_phase(docs, "doc_id")
 
 
 def q_token_count(spark, sf_dir):

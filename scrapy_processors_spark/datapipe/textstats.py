@@ -92,6 +92,42 @@ def lang_id(text: Column) -> Column:
     return best
 
 
+def lang_id_two_phase(df, *cols, text: str = "text", alias: str = "lang_guess"):
+    """Plan-shape reformulation of ``lang_id`` — same result (equivalence
+    tested), each regex pass evaluated once per row.
+
+    The single-Column ``lang_id`` nests the score subexpressions inside CASE
+    WHEN *branches*, which Spark's subexpression elimination cannot merge
+    (branches are lazily evaluated), so the physical plan duplicates the
+    en-stopword scan ~8x and the ``\\s``-strip 6x (r6 plan audit; a typical
+    Latin-text row paid ~20+ regex/array evaluations instead of 11).  Here
+    the 11 passes land in an inner projection and the identical decision
+    fold runs over the bound columns in an outer one; CollapseProject keeps
+    the barrier because the non-cheap score columns are referenced more than
+    once."""
+    t = F.col(text)
+    inner = df.select(
+        *cols,
+        F.length(F.regexp_replace(t, r"\s", "")).alias("__nonspace"),
+        *[_stop_count_rx(t, lang).alias(f"__stop_{lang}") for lang in STOPWORDS],
+        *[F.regexp_count(t, F.lit(rng)).alias(f"__script_{lang}")
+          for lang, rng in _SCRIPTS],
+    )
+    scores = {lang: F.col(f"__stop_{lang}") for lang in STOPWORDS}
+    best = F.lit("en")
+    best_score = scores["en"]
+    for lang in ["es", "fr", "pt"]:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    nonspace = F.col("__nonspace")
+    for lang, _rng in reversed(_SCRIPTS):
+        cnt = F.col(f"__script_{lang}")
+        best = F.when(cnt * 100 > nonspace * _SCRIPT_THRESHOLD_PCT,
+                      F.lit(lang)).otherwise(best)
+    return inner.select(*cols, best.alias(alias))
+
+
 def token_count_ws(text: Column) -> Column:
     """Whitespace tokens.  ``size(split(s, p)) == regexp_count(s, p) + 1``
     identically (Spark split keeps trailing empties, limit -1), and the

@@ -500,3 +500,30 @@ def test_cosine_kernels_match_folds(spark):
         F.col("va"), F.col("vb")).alias("c"))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "ArrowEvalPython" in plan
+
+
+def test_lang_id_two_phase_matches_spec(spark):
+    """r6: the two-projection plan shape of lang_id must be value-identical
+    to the single-Column spec on adversarial + mixed-script texts."""
+    from pyspark.sql import functions as F
+
+    from scrapy_processors_spark.datapipe import textstats
+
+    texts = [
+        None, "", "   ", "\n\t", "a", "12345 !!!",
+        "the quick and of to in is that for with as",
+        "el que la los las para por una con del",
+        "le les des une est dans pour sur avec pas",
+        "os uma não são como mais pelo pela isso ele",
+        "هذا نص عربي طويل بما يكفي", "นี่คือข้อความภาษาไทย",
+        "이것은 한국어 텍스트입니다", "これは日本語のテキストです",
+        "这是中文文本内容", "Это русский текст для теста",
+        "mixed الکلمة the of and text", "the the the", "el el el",
+        "了了了 the and of to in is that",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    spec = df.select(
+        "doc_id", textstats.lang_id(F.col("text")).alias("lang_guess")).collect()
+    two = textstats.lang_id_two_phase(df, "doc_id").collect()
+    assert sorted(map(tuple, spec)) == sorted(map(tuple, two))
