@@ -229,9 +229,15 @@ _KO_RE = re.compile(
 
 
 def _fold(s: str) -> str:
+    if s.isascii():  # NFD is identity on ASCII and ASCII has no Mn chars
+        return s
     return "".join(
         c for c in unicodedata.normalize("NFD", s) if unicodedata.category(c) != "Mn"
     )
+
+
+# token splitter, precompiled (was re.split's per-call cache lookup)
+_SPLIT_RE = re.compile(r"[\s,./\-،]+")
 
 
 def parse_fuzzy_datetime(value: str, languages: Optional[List[str]] = None) -> Optional[datetime]:
@@ -257,7 +263,10 @@ def parse_fuzzy_datetime(value: str, languages: Optional[List[str]] = None) -> O
     # ko runs on the UNFOLDED value: NFD decomposes Hangul syllables into
     # conjoining jamo (category Lo, which the fold keeps), so the
     # precomposed 년/월/일 in the pattern would never match the folded s
-    jm = _JA_RE.search(s) or _KO_RE.search(value.lower())
+    # cheap contains-guards: _JA_RE cannot match without 年, _KO_RE without
+    # 년 (and the KO path's value.lower() alloc is skipped too)
+    jm = (_JA_RE.search(s) if "年" in s else None) or (
+        _KO_RE.search(value.lower()) if "년" in value else None)
     if jm:
         try:
             return datetime(int(jm.group(1)), int(jm.group(2)),
@@ -284,7 +293,7 @@ def parse_fuzzy_datetime(value: str, languages: Optional[List[str]] = None) -> O
     elif ampm == "am" and hour == 12:
         hour = 0
 
-    tokens = re.split(r"[\s,./\-،]+", s)
+    tokens = _SPLIT_RE.split(s)
     tokens = [t for t in tokens if t and t not in _FILLER and t not in _WEEKDAYS]
 
     month = phrase_month

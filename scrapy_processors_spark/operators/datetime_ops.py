@@ -251,6 +251,29 @@ class DateTimeExtraordinaire(Op):
         fixed_langs = languages
         augment = bool(locales) or detect_fn is not None
 
+        # Static-offset fast path (guide §4.5 applied to the tz dance): when
+        # the final result is a plain naive-UTC datetime, output_tz cancels
+        # (the tail always re-converts to UTC) and for a constant-offset
+        # base_tz the whole localize/astimezone chain reduces to one
+        # timedelta subtraction.  DST-capable zones keep the full path
+        # (localize's fold choice affects the instant).
+        base_static = base_tz is pytz.UTC or isinstance(
+            base_tz, pytz.tzinfo.StaticTzInfo)
+        plain_dt = not return_date and not return_time and not augment
+        if base_static and plain_dt and fixed_langs is None:
+            base_off = base_tz.utcoffset(datetime(2000, 1, 1))
+
+            def one(v):
+                if v is None:
+                    return None
+                dt = parse_fuzzy_datetime(v)
+                # identical to localize().astimezone(out).astimezone(UTC)
+                # .replace(tzinfo=None): both raise OverflowError at the
+                # datetime range edge
+                return None if dt is None else dt - base_off
+
+            return s.map(one)
+
         def one(v):
             if v is None:
                 return None

@@ -225,3 +225,31 @@ def test_dte_dateparser_context_keys():
     assert op.process_value("fredag 14 augusti 2015, 10:00") == \
         datetime(2015, 8, 14, 15, 0, tzinfo=UTC)
     assert calls and calls[0][0] == "fredag 14 augusti 2015, 10:00"
+
+
+def test_dtx_static_tz_fast_path_matches_process_value():
+    """r6: the static-offset kernel fast path (Etc/GMT+5-style base_tz,
+    plain datetime output) must match process_value row by row; a
+    DST-capable base_tz must keep taking the full localize path."""
+    import pandas as pd
+    import pytz
+
+    from scrapy_processors_spark import DateTimeExtraordinaire
+
+    vals = [
+        "March 5, 2021 at 14:30:15", "5 mars 2021, 14:30:15",
+        "5 de marzo de 2021, 14:30:15", "5 de março de 2021, 14:30:15",
+        "2024年3月5日 14時30分15秒", "2024년 3월 5일 14시 30분",
+        "not a date", None, "",
+    ]
+    for tz in ("Etc/GMT+5", "UTC", "America/Chicago"):
+        op = DateTimeExtraordinaire(base_tz=tz)
+        out = list(op.kernel(pd.Series(vals, dtype=object)))
+        for v, got in zip(vals, out):
+            exp = op.process_value(v) if v is not None else None
+            if exp is not None:
+                exp = exp.astimezone(pytz.UTC).replace(tzinfo=None)
+            if exp is None:
+                assert pd.isna(got)  # None/NaT: the exec layer drops both
+            else:
+                assert got == exp, (tz, v, got, exp)
