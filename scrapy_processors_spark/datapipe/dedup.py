@@ -534,9 +534,14 @@ def dot_product_kernel(va: pd.Series, vb: pd.Series) -> pd.Series:
 
     def vec(mats):
         a, b = mats
+        # r6: one vectorized multiply, then in-place adds over contiguous
+        # rows of the transposed product — same one-add-per-dimension left
+        # fold (bit-identical; equivalence suite) without 2 array allocs
+        # and a strided column read per dimension
+        abT = np.ascontiguousarray((a * b).T)
         acc = np.zeros(a.shape[0], dtype=np.float64)
-        for i in range(a.shape[1]):
-            acc = acc + a[:, i] * b[:, i]
+        for i in range(abT.shape[0]):
+            acc += abT[i]
         return acc
 
     if nn:
@@ -554,9 +559,12 @@ def l2_norm_kernel(va: pd.Series) -> pd.Series:
 
     def vec(mats):
         a = mats[0]
+        # r6: same contiguous-transpose reformulation as dot_product_kernel
+        # (bit-identical left fold)
+        sqT = np.ascontiguousarray((a * a).T)
         acc = np.zeros(a.shape[0], dtype=np.float64)
-        for i in range(a.shape[1]):
-            acc = acc + a[:, i] * a[:, i]
+        for i in range(sqT.shape[0]):
+            acc += sqT[i]
         return acc
 
     if nn:

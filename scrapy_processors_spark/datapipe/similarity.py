@@ -145,15 +145,31 @@ def lsh_buckets_udf(tables: list, dim: int):
     flat_w = weights.reshape(n_tables * n_planes, dim_w)
     powers = (1 << np.arange(n_planes, dtype=np.int32))
 
+    # r6: row-blocked accumulator (B=512: sub/tmp stay cache-resident and
+    # `acc = acc + ...` no longer reallocates the full (n, tables*planes)
+    # matrix per dimension — measured 264 -> 142 ms on 20k rows).  Each
+    # (row, plane) cell still sums v[r, i] * w[p, i] sequentially in
+    # dimension order i = 0..dim-1, one in-place add per dimension, so the
+    # IEEE result stays bit-identical to the oracle's list_reduce fold.
+    w_cols = np.ascontiguousarray(flat_w.T)  # (dim, n_tables*n_planes)
+    n_tp = n_tables * n_planes
+
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def buckets(vecs: pd.Series) -> pd.Series:
         if not len(vecs):  # empty Arrow batch: np.array([]) is 1-D
             return pd.Series([], dtype=object)
         v = np.array(vecs.to_list(), dtype=np.float64)  # (n, dim)
         n = v.shape[0]
-        acc = np.zeros((n, n_tables * n_planes), dtype=np.float64)
-        for i in range(dim_w):
-            acc = acc + v[:, i:i + 1] * flat_w[:, i][None, :]
+        acc = np.empty((n, n_tp), dtype=np.float64)
+        B = 512
+        for s0 in range(0, n, B):
+            blk = v[s0:s0 + B]
+            sub = np.zeros((blk.shape[0], n_tp), dtype=np.float64)
+            tmp = np.empty_like(sub)
+            for i in range(dim_w):
+                np.multiply(blk[:, i:i + 1], w_cols[i][None, :], out=tmp)
+                sub += tmp
+            acc[s0:s0 + B] = sub
         bits = (acc > 0).reshape(n, n_tables, n_planes)
         out = (bits * powers[None, None, :]).sum(axis=2).astype(np.int32)
         return pd.Series(list(out))
