@@ -21,6 +21,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 
+def shuffle_totals_local(spark) -> dict:
+    """Sum shuffle/input bytes over all stages from the driver-local
+    AppStatusStore (r06, VERDICT r05 #4): unlike the REST listing — whose
+    single JSON serialization of ~90 stages timed out after the 1400 s r05
+    crawl — this is an in-process KVStore scan with no HTTP payload, so it
+    cannot time out.  Fields match the REST summary semantics (the REST
+    handler reads the same store)."""
+    sc = spark.sparkContext
+    jvm, gw = sc._jvm, sc._gateway
+    store = sc._jsc.sc().statusStore()
+    stages = store.stageList(
+        jvm.java.util.ArrayList(),        # all statuses
+        False, False,                     # no task data / details
+        gw.new_array(jvm.double, 0),      # no quantiles
+        jvm.java.util.ArrayList())
+    n = stages.size()
+    return {
+        "n_stages": n,
+        "shuffle_write_bytes": sum(
+            stages.apply(i).shuffleWriteBytes() for i in range(n)),
+        "shuffle_read_bytes": sum(
+            stages.apply(i).shuffleReadBytes() for i in range(n)),
+        "input_bytes": sum(stages.apply(i).inputBytes() for i in range(n)),
+    }
+
+
 def shuffle_totals(ui_port: int = 4040) -> dict:
     """Sum shuffle/input bytes over all completed stages via the REST API."""
     base = f"http://localhost:{ui_port}/api/v1/applications"
@@ -109,7 +135,7 @@ def main():
         "round_wall_s": round(wall, 1),
         "urls_per_sec": round(n_seen / wall, 1),
         "bloom": bloom_stats,
-        "shuffle": shuffle_totals(),
+        "shuffle": shuffle_totals_local(spark),
     }
     print(json.dumps(out))
     spark.stop()

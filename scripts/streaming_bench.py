@@ -33,7 +33,10 @@ sys.path.insert(0, REPO)
 
 N_URLS = int(os.environ.get("SPARK_GRAFT_STREAM_URLS", "2000000"))
 N_FILES = 16
-BATCH_FILES = 4  # -> 4 micro-batches per run
+# -> N_FILES/BATCH_FILES micro-batches per run; r06 makes it overridable so
+# the per-batch fixed-cost amortization can be measured at 16 batches
+# (VERDICT r05 #8)
+BATCH_FILES = int(os.environ.get("SPARK_GRAFT_STREAM_BATCH_FILES", "4"))
 
 
 def gen_input(spark, src: str, n: int) -> None:
