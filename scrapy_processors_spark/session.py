@@ -186,6 +186,11 @@ def _warm_query_plans(spark: SparkSession) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
     if not sf_dir or not os.path.isdir(sf_dir):
         return
+    # only bench-shaped sessions (bench.py's make_spark names them
+    # "bench-<cores>"): correctness/oracle harnesses must not pay ~1 min
+    # of warm-up per session even if they export SPARK_GRAFT_SF_DIR
+    if not spark.sparkContext.appName.startswith("bench"):
+        return
     if getattr(spark, "_graft_plans_warmed", False):
         return
     spark._graft_plans_warmed = True
