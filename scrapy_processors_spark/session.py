@@ -183,8 +183,10 @@ def _warm_query_plans(spark: SparkSession) -> None:
         return
     if "--crawl-run" in sys.argv:
         return
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
-    if not sf_dir or not os.path.isdir(sf_dir):
+    # same fallback as bench.py:388 — the driver may rely on the default
+    # instead of exporting the env, and the warm-up must fire either way
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf_dir):
         return
     # only bench-shaped sessions (bench.py's make_spark names them
     # "bench-<cores>"): correctness/oracle harnesses must not pay ~1 min
